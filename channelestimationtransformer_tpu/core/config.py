@@ -1,0 +1,136 @@
+"""Typed configuration for models, data, and training.
+
+The reference drives everything through per-experiment ``get_config()`` dicts
+(reference ``FullPrecision/config.py:4-33``) whose keys drift between copies and
+whose positional handoff into ``InformerStack(...)`` silently shifts arguments
+(reference ``FullPrecision/QuantizationAwareTraining.py:61-86`` vs
+``models/Informer/model.py:137-160``: ``distil`` lands in the ``output_attention``
+slot, so distilling is always on and models always return ``(pred, attns)``).
+
+Here configs are frozen dataclasses with keyword-only fields — the argument-shift
+bug class is impossible — and the *effective* reference hyperparameters (distil on,
+gelu activation) are the defaults, per SURVEY.md §7.4 quirk 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True)
+class InformerConfig:
+    """Informer / InformerStack hyperparameters.
+
+    Mirrors the *effective* config of the reference FullPrecision runs
+    (reference ``FullPrecision/config.py:4-33`` + the §3.1 positional-shift quirk):
+    distil on, gelu activation, attn selectable ("full" | "prob").
+    """
+
+    enc_in: int = 16
+    dec_in: int = 16
+    c_out: int = 16
+    seq_len: int = 90
+    label_len: int = 10
+    pred_len: int = 5
+    factor: int = 5
+    d_model: int = 128
+    n_heads: int = 8
+    e_layers: Sequence[int] = (4, 3)  # one entry per encoder in the stack
+    d_layers: int = 3
+    d_ff: int = 64
+    dropout: float = 0.05
+    attn: str = "full"  # "full" | "prob"
+    activation: str = "gelu"  # "gelu" | "relu"
+    distil: bool = True
+    mix: bool = True  # transpose heads<->seq on decoder self-attn output
+    output_attention: bool = False
+    dtype: str = "float32"  # computation dtype for activations
+
+    def __post_init__(self):
+        if self.attn not in ("full", "prob"):
+            raise ValueError(f"attn must be 'full' or 'prob', got {self.attn!r}")
+        if self.activation not in ("gelu", "relu"):
+            raise ValueError(f"activation must be 'gelu' or 'relu', got {self.activation!r}")
+
+    @property
+    def dec_len(self) -> int:
+        return self.label_len + self.pred_len
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True)
+class TransformerConfig:
+    """Vanilla encoder-decoder transformer baseline
+    (reference ``models/Transformer/model.py:90-174`` ``build_transformer``)."""
+
+    enc_in: int = 16
+    c_out: int = 16
+    seq_len: int = 90
+    label_len: int = 10
+    pred_len: int = 5
+    d_model: int = 128
+    n_heads: int = 8
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 3
+    d_ff: int = 64
+    dropout: float = 0.05
+    dtype: str = "float32"
+
+    @property
+    def dec_len(self) -> int:
+        return self.label_len + self.pred_len
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True)
+class RecurrentConfig:
+    """RNN/GRU/LSTM baselines (reference ``models/{RNN,GRU,LSTM}/model.py``):
+    Linear encoder -> recurrent core -> Linear decoder, teacher-forced train,
+    closed-loop eval rollout."""
+
+    features: int = 16
+    input_size: int = 128
+    hidden_size: int = 256
+    num_layers: int = 2
+    cell: str = "lstm"  # "rnn" | "gru" | "lstm"
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True)
+class DataConfig:
+    """Dataset geometry + noise model (reference ``Utils/dataset.py`` SeqData)."""
+
+    seq_len: int = 90
+    pred_len: int = 5
+    snr_db: float = 21.0
+    # Effective channel geometry after beamforming: Nr rx antennas x Nt beams,
+    # flattened complex -> enc_in = nr * nt * 2 real features.
+    nr: int = 2
+    nt: int = 4
+    slots: int = 100  # SRS slots per stored sample ("Seq_Len_100" datasets)
+
+    @property
+    def features(self) -> int:
+        return self.nr * self.nt * 2
+
+
+@dataclasses.dataclass(frozen=True, kw_only=True)
+class TrainConfig:
+    """Optimizer / loop settings (reference ``FullPrecision/config.py``:
+    batch 256, Adam lr 1e-4, cosine annealing, 1000-epoch ceiling)."""
+
+    batch_size: int = 256
+    num_epochs: int = 100
+    lr: float = 1e-4
+    lr_min: float = 0.0
+    seed: int = 0
+    steps_per_epoch: int = 226  # reference: 226 batches/epoch at batch 256
+    checkpoint_every_epochs: int = 100
+    log_every: int = 22  # ~len/10 per the reference logging cadence
+    checkpoint_dir: str = "weights"
+    experiment_name: str = "runs/tmodel"
+
+
+def full_precision_config() -> tuple[InformerConfig, DataConfig, TrainConfig]:
+    """The FullPrecision experiment's effective configuration
+    (reference ``FullPrecision/config.py:4-33`` + SURVEY §7.4 quirk 1)."""
+    return InformerConfig(), DataConfig(), TrainConfig()
