@@ -7,7 +7,9 @@ before JAX initializes a backend, hence the top-of-conftest placement.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The env may pin JAX_PLATFORMS to a hardware plugin; the config.update below is
+# what reliably forces CPU, but both are set for good measure.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,4 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_platforms", "cpu")
