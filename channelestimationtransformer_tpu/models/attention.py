@@ -1,0 +1,209 @@
+"""Full and ProbSparse attention, jit-native with static shapes.
+
+Reference: ``models/Informer/attn.py``. TPU-first redesign notes:
+
+- ``FullAttention`` is a plain scaled-dot-product einsum chain; XLA fuses the
+  scale/mask/softmax into the surrounding matmuls on the MXU. A Pallas
+  flash-attention kernel (``ops.pallas.attention``) can be swapped in via
+  ``use_pallas`` for long sequences.
+- ``ProbAttention`` (the Informer O(L log L) sparse attention,
+  reference ``attn.py:85-187``): all sizes that torch derived from runtime
+  shapes (``U_part = factor*ceil(ln L_K)``, ``u = factor*ceil(ln L_Q)``) are
+  computed from *static* trace-time shapes, so the whole op compiles to fixed
+  gather/top_k/scatter — no dynamic shapes, no recompiles.
+- The reference's debug ``sio.savemat`` inside FullAttention.forward
+  (``attn.py:59-67``) is intentionally not replicated (SURVEY §7.4 quirk 2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def causal_mask(l_q: int, l_k: int) -> jnp.ndarray:
+    """Boolean [l_q, l_k] mask, True where attention is DISALLOWED (strict upper
+    triangle), matching ``TriangularCausalMask`` (reference ``attn.py:10-21``)."""
+    return jnp.triu(jnp.ones((l_q, l_k), dtype=bool), k=1)
+
+
+def full_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask_flag: bool,
+    scale: Optional[float] = None,
+    dropout: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+    return_attn: bool = False,
+):
+    """Dense softmax attention over ``[B, L, H, E]`` tensors
+    (reference ``FullAttention.forward``, ``attn.py:54-82``)."""
+    b, l, h, e = q.shape
+    s = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(e)
+
+    scores = jnp.einsum("blhe,bshe->bhls", q, k)
+    if mask_flag:
+        scores = jnp.where(causal_mask(l, s)[None, None], NEG_INF, scores)
+    a = jax.nn.softmax(scale * scores, axis=-1)
+    if dropout > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, a.shape)
+        a_dropped = jnp.where(keep, a / (1.0 - dropout), 0.0)
+    else:
+        a_dropped = a
+    out = jnp.einsum("bhls,bshd->blhd", a_dropped, v)
+    return (out, a) if return_attn else (out, None)
+
+
+def prob_sparse_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask_flag: bool,
+    factor: int,
+    sample_rng: jax.Array,
+    scale: Optional[float] = None,
+):
+    """ProbSparse attention (reference ``ProbAttention``, ``attn.py:85-187``).
+
+    Inputs ``[B, L, H, E]``. Static sparsity sizes:
+    ``sample_k = min(factor*ceil(ln L_K), L_K)`` keys sampled per query,
+    ``n_top  = min(factor*ceil(ln L_Q), L_Q)`` queries kept.
+
+    Non-selected queries receive the mean of V (unmasked) or the causal
+    cumulative sum of V (masked decoder self-attention), exactly as in
+    ``_get_initial_context`` (reference ``attn.py:128-137``).
+    """
+    b, l_q, h, e = q.shape
+    l_k = k.shape[1]
+
+    # [B, H, L, E] layout for the sparse bookkeeping (reference transposes too).
+    q_ = jnp.swapaxes(q, 1, 2)
+    k_ = jnp.swapaxes(k, 1, 2)
+    v_ = jnp.swapaxes(v, 1, 2)
+
+    sample_k = min(factor * math.ceil(math.log(l_k)), l_k)
+    n_top = min(factor * math.ceil(math.log(l_q)), l_q)
+
+    # --- _prob_QK (reference attn.py:101-126) ---
+    # One shared [L_Q, sample_k] index draw across batch/heads, like torch.randint.
+    index_sample = jax.random.randint(sample_rng, (l_q, sample_k), 0, l_k)
+    k_sample = k_[:, :, index_sample]  # [B, H, L_Q, sample_k, E]
+    qk_sample = jnp.einsum("bhle,bhlse->bhls", q_, k_sample)
+    m = jnp.max(qk_sample, axis=-1) - jnp.sum(qk_sample, axis=-1) / l_k
+    _, m_top = jax.lax.top_k(m, n_top)  # [B, H, n_top]
+
+    q_reduce = jnp.take_along_axis(q_, m_top[..., None], axis=2)  # [B,H,n_top,E]
+    scores = jnp.einsum("bhue,bhke->bhuk", q_reduce, k_)  # [B,H,n_top,L_K]
+
+    scale = scale if scale is not None else 1.0 / math.sqrt(e)
+    scores = scores * scale
+
+    # --- initial context (reference attn.py:128-137) ---
+    if mask_flag:
+        context = jnp.cumsum(v_, axis=-2)  # requires L_Q == L_K (self-attn)
+    else:
+        context = jnp.broadcast_to(
+            jnp.mean(v_, axis=-2, keepdims=True), (b, h, l_q, v_.shape[-1])
+        )
+
+    # --- update context at the top queries (reference attn.py:139-158) ---
+    if mask_flag:
+        # ProbMask: causal-mask rows gathered at the selected query positions.
+        cm = causal_mask(l_q, l_k)  # [L_Q, L_K]
+        gathered_mask = cm[m_top]  # [B, H, n_top, L_K]
+        scores = jnp.where(gathered_mask, NEG_INF, scores)
+    attn = jax.nn.softmax(scores, axis=-1)
+    update = jnp.einsum("bhuk,bhkd->bhud", attn, v_)
+    d_v = v_.shape[-1]
+    context = jnp.put_along_axis(
+        context,
+        jnp.broadcast_to(m_top[..., None], (*m_top.shape, d_v)),
+        update.astype(context.dtype),
+        axis=2,
+        inplace=False,
+    )
+    return jnp.swapaxes(context, 1, 2), None  # back to [B, L, H, E]
+
+
+class AttentionLayer(nn.Module):
+    """QKV/output projections around an inner attention
+    (reference ``AttentionLayer``, ``attn.py:190-221``).
+
+    ``mix=True`` replicates the reference's head/sequence transpose before the
+    output projection (used by decoder self-attention).
+    """
+
+    d_model: int
+    n_heads: int
+    attn: str = "full"  # "full" | "prob"
+    mask_flag: bool = False
+    factor: int = 5
+    dropout: float = 0.0
+    mix: bool = False
+    output_attention: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, values, *, deterministic: bool = True):
+        b, l, _ = queries.shape
+        s = keys.shape[1]
+        h = self.n_heads
+        d_head = self.d_model // h
+
+        dense = lambda name: nn.Dense(d_head * h, dtype=self.dtype, name=name)
+        q = dense("query")(queries).reshape(b, l, h, d_head)
+        k = dense("key")(keys).reshape(b, s, h, d_head)
+        v = dense("value")(values).reshape(b, s, h, d_head)
+
+        if self.attn == "prob":
+            sample_rng = (
+                self.make_rng("sample")
+                if self.has_rng("sample")
+                else jax.random.key(0)
+            )
+            out, attn = prob_sparse_attention(
+                q, k, v,
+                mask_flag=self.mask_flag,
+                factor=self.factor,
+                sample_rng=sample_rng,
+            )
+        else:
+            if self.use_pallas and deterministic and not self.output_attention:
+                from ..ops.pallas.attention import mha_attention
+
+                out = mha_attention(q, k, v, causal=self.mask_flag)
+                attn = None
+            else:
+                dropout_rng = (
+                    self.make_rng("dropout")
+                    if (not deterministic and self.dropout > 0.0)
+                    else None
+                )
+                out, attn = full_attention(
+                    q, k, v,
+                    mask_flag=self.mask_flag,
+                    dropout=self.dropout,
+                    deterministic=deterministic,
+                    dropout_rng=dropout_rng,
+                    return_attn=self.output_attention,
+                )
+
+        if self.mix:
+            # Reference transposes [B, L, H, D] -> [B, H, L, D] then flattens,
+            # interleaving heads with sequence (attn.py:216-218).
+            out = jnp.swapaxes(out, 1, 2)
+        out = out.reshape(b, l, h * d_head)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
+        return out, attn
