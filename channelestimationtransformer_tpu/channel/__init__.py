@@ -1,0 +1,12 @@
+from .cdl import CDL_B, CDLModel, generate_cdl_channel
+from .beamforming import beam_sweep_project, dft_codebook
+from .dataset import generate_beamformed_dataset
+
+__all__ = [
+    "CDL_B",
+    "CDLModel",
+    "generate_cdl_channel",
+    "beam_sweep_project",
+    "dft_codebook",
+    "generate_beamformed_dataset",
+]

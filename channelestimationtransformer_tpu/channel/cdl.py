@@ -1,0 +1,264 @@
+"""3GPP TR 38.901 CDL channel simulator in pure JAX.
+
+Replaces the reference's Sionna dependency (reference
+``GenerateDatasets/GenerateChannelsFreqPreMatlab.py:37-121``: CDL-B, 28 GHz,
+BS 64-element ULA with the 38.901 element pattern, UE omni ULA, downlink,
+30 km/h, one sample per 75-symbol SRS period = 1.6 kHz sampling, single
+subcarrier -> frequency-flat per-slot channel matrices).
+
+Implementation follows TR 38.901 §7.7.1 (CDL) with the standard step sequence:
+per-cluster delays/powers/angles from the CDL table, 20 rays per cluster with
+the Table 7.5-3 offset angles scaled by the per-cluster spreads, random ray
+coupling and initial phases, plane-wave array responses for the ULAs, and
+per-ray Doppler from a random in-plane UE velocity. Single (vertical)
+polarization, matching the reference's ``polarization="single"`` arrays.
+
+Everything is batched and jit-compiled; a [B=128, slots=150] draw of the
+64x2 channel is a single XLA program (the reference loops 50 Sionna batches
+on host and round-trips through .mat files and MATLAB).
+
+The channel at the single subcarrier (fft_size=1 -> f=0) is the plain sum of
+cluster coefficients, as produced by ``cir_to_ofdm_channel`` at f=0 in the
+reference; per-sample normalization matches its ``normalize=True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPEED_OF_LIGHT = 299_792_458.0
+
+# TR 38.901 Table 7.5-3: offset angles of the 20 rays within a cluster.
+RAY_OFFSETS = np.array(
+    [
+        0.0447, -0.0447, 0.1413, -0.1413, 0.2492, -0.2492, 0.3715, -0.3715,
+        0.5129, -0.5129, 0.6797, -0.6797, 0.8844, -0.8844, 1.1481, -1.1481,
+        1.5195, -1.5195, 2.1551, -2.1551,
+    ]
+)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CDLTable:
+    """One CDL profile: per-cluster normalized delay, power (dB), and mean
+    angles (degrees), plus per-cluster ray spreads (TR 38.901 Table 7.7.1-x).
+
+    Hash/eq by profile name so the table can ride through ``jit`` static args.
+    """
+
+    name: str
+    delays: np.ndarray  # [N] normalized delay
+    powers_db: np.ndarray  # [N]
+    aod: np.ndarray  # [N] azimuth of departure, deg
+    aoa: np.ndarray  # [N] azimuth of arrival, deg
+    zod: np.ndarray  # [N] zenith of departure, deg
+    zoa: np.ndarray  # [N] zenith of arrival, deg
+    c_asd: float  # deg
+    c_asa: float
+    c_zsd: float
+    c_zsa: float
+
+    def __hash__(self):
+        return hash(self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, CDLTable) and self.name == other.name
+
+
+# TR 38.901 Table 7.7.1-2: CDL-B (NLOS), 23 clusters.
+CDL_B = CDLTable(
+    name="CDL-B",
+    delays=np.array([
+        0.0000, 0.1072, 0.2155, 0.2095, 0.2870, 0.2986, 0.3752, 0.5055,
+        0.3681, 0.3697, 0.5700, 0.5283, 1.1021, 1.2756, 1.5474, 1.7842,
+        2.0169, 2.8294, 3.0219, 3.6187, 4.1067, 4.2790, 4.7834,
+    ]),
+    powers_db=np.array([
+        0.0, -2.2, -4.0, -3.2, -9.8, -1.2, -3.4, -5.2, -7.6, -3.0, -8.9,
+        -9.0, -4.8, -5.7, -7.5, -1.9, -7.6, -12.2, -9.8, -11.4, -14.9,
+        -9.2, -11.3,
+    ]),
+    aod=np.array([
+        9.3, 9.3, 9.3, -34.1, -65.4, -11.4, -11.4, -11.4, -67.2, 52.5,
+        -72.0, 74.3, -52.2, -50.5, 61.4, 30.6, -72.5, -90.6, -77.6, -82.6,
+        -103.6, 75.6, -77.6,
+    ]),
+    aoa=np.array([
+        -173.3, -173.3, -173.3, 125.5, -88.0, 155.1, 155.1, 155.1, -89.8,
+        132.1, -83.6, 95.3, 103.7, -87.8, -92.5, -139.1, -90.6, 58.6,
+        -79.0, 65.8, 52.7, 88.7, -60.3,
+    ]),
+    zod=np.array([
+        105.8, 105.8, 105.8, 115.3, 119.3, 103.2, 103.2, 103.2, 118.2,
+        102.0, 100.4, 98.3, 103.4, 102.5, 101.4, 103.0, 100.0, 115.2,
+        100.5, 119.6, 118.7, 117.8, 115.7,
+    ]),
+    zoa=np.array([
+        78.9, 78.9, 78.9, 63.3, 59.9, 67.5, 67.5, 67.5, 82.6, 66.3, 61.6,
+        58.0, 78.2, 82.0, 62.4, 78.0, 60.9, 82.9, 60.8, 57.3, 59.9, 60.1,
+        62.3,
+    ]),
+    c_asd=10.0,
+    c_asa=22.0,
+    c_zsd=3.0,
+    c_zsa=7.0,
+)
+
+
+def _element_pattern_38901_db(zenith_deg, azimuth_deg):
+    """TR 38.901 §7.3 BS element power pattern (dB), 8 dBi max gain."""
+    a_v = -jnp.minimum(12.0 * ((zenith_deg - 90.0) / 65.0) ** 2, 30.0)
+    a_h = -jnp.minimum(12.0 * (azimuth_deg / 65.0) ** 2, 30.0)
+    return 8.0 - jnp.minimum(-(a_v + a_h), 30.0)
+
+
+def _unit_direction(zenith_deg, azimuth_deg):
+    """Spherical unit vector (TR 38.901 eq. 7.1-6)."""
+    th = jnp.deg2rad(zenith_deg)
+    ph = jnp.deg2rad(azimuth_deg)
+    return jnp.stack(
+        [jnp.sin(th) * jnp.cos(ph), jnp.sin(th) * jnp.sin(ph), jnp.cos(th)],
+        axis=-1,
+    )
+
+
+def _ula_positions(num_elements: int, spacing_wavelengths: float) -> np.ndarray:
+    """Element positions (in wavelengths) of a y-axis ULA, like Sionna's
+    ``AntennaArray(num_rows=1, num_cols=N)`` with lambda/2 spacing."""
+    idx = np.arange(num_elements) - (num_elements - 1) / 2
+    pos = np.zeros((num_elements, 3))
+    pos[:, 1] = idx * spacing_wavelengths
+    return pos
+
+
+@dataclasses.dataclass(frozen=True)
+class CDLModel:
+    """A configured CDL link: geometry + mobility, ready to sample.
+
+    Defaults replicate the reference generation setup
+    (``GenerateChannelsFreqPreMatlab.py:57-106``).
+    """
+
+    table: CDLTable = CDL_B
+    carrier_frequency: float = 28e9
+    delay_spread: float = 100e-9
+    num_bs_ant: int = 64
+    num_ut_ant: int = 2
+    ue_speed_ms: float = 30.0 / 3.6
+    sampling_frequency: float = 1.0 / (75 * (1 / 120e3 + 0.0))  # 75 symbols @ 120 kHz
+    num_rays: int = 20
+    bs_pattern_38901: bool = True
+
+    @property
+    def wavelength(self) -> float:
+        return SPEED_OF_LIGHT / self.carrier_frequency
+
+
+@partial(jax.jit, static_argnames=("model", "batch_size", "num_slots"))
+def generate_cdl_channel(
+    key: jax.Array,
+    model: CDLModel,
+    batch_size: int,
+    num_slots: int,
+) -> jnp.ndarray:
+    """Sample the frequency-flat per-slot MIMO channel.
+
+    Returns complex64 ``[batch, num_slots, num_ut_ant, num_bs_ant]`` — the
+    downlink channel (UE receives), i.e. the ``[Rx, Tx]`` matrix the MATLAB
+    beam sweep consumes (reference ``Beamforming.m:52-66``).
+
+    Per batch sample: random ray coupling is realized implicitly by drawing
+    i.i.d. ray offsets pairings via permutation, random initial ray phases,
+    and a random UE travel direction in the x-y plane (reference comment,
+    ``GenerateChannelsFreqPreMatlab.py:88-89``).
+    """
+    tbl = model.table
+    n_clusters = len(tbl.delays)
+    n_rays = model.num_rays
+
+    powers = 10.0 ** (jnp.asarray(tbl.powers_db) / 10.0)
+    powers = powers / jnp.sum(powers)
+
+    k_phase, k_coup_a, k_coup_z, k_vel = jax.random.split(key, 4)
+
+    # Ray angles: cluster mean + spread * offset (deg). [N, M]
+    offs = jnp.asarray(RAY_OFFSETS[:n_rays])
+    aod = jnp.asarray(tbl.aod)[:, None] + tbl.c_asd * offs[None, :]
+    aoa = jnp.asarray(tbl.aoa)[:, None] + tbl.c_asa * offs[None, :]
+    zod = jnp.asarray(tbl.zod)[:, None] + tbl.c_zsd * offs[None, :]
+    zoa = jnp.asarray(tbl.zoa)[:, None] + tbl.c_zsa * offs[None, :]
+
+    # Random coupling of azimuth/zenith ray orderings (38.901 step 8): draw an
+    # independent permutation of arrival rays per batch/cluster.
+    perm_a = jax.vmap(
+        lambda k: jax.vmap(lambda kk: jax.random.permutation(kk, n_rays))(
+            jax.random.split(k, n_clusters)
+        )
+    )(jax.random.split(k_coup_a, batch_size))  # [B, N, M]
+    perm_z = jax.vmap(
+        lambda k: jax.vmap(lambda kk: jax.random.permutation(kk, n_rays))(
+            jax.random.split(k, n_clusters)
+        )
+    )(jax.random.split(k_coup_z, batch_size))
+
+    aoa_b = jnp.take_along_axis(
+        jnp.broadcast_to(aoa, (batch_size, n_clusters, n_rays)), perm_a, axis=-1
+    )
+    zoa_b = jnp.take_along_axis(
+        jnp.broadcast_to(zoa, (batch_size, n_clusters, n_rays)), perm_z, axis=-1
+    )
+    aod_b = jnp.broadcast_to(aod, (batch_size, n_clusters, n_rays))
+    zod_b = jnp.broadcast_to(zod, (batch_size, n_clusters, n_rays))
+
+    # Initial ray phases ~ U(-pi, pi). [B, N, M]
+    phases = jax.random.uniform(
+        k_phase, (batch_size, n_clusters, n_rays), minval=-jnp.pi, maxval=jnp.pi
+    )
+
+    # Array responses. Positions in wavelengths -> phase = 2*pi * (r_hat . pos).
+    bs_pos = jnp.asarray(_ula_positions(model.num_bs_ant, 0.5))  # [S, 3]
+    ue_pos = jnp.asarray(_ula_positions(model.num_ut_ant, 0.5))  # [U, 3]
+
+    r_tx = _unit_direction(zod_b, aod_b)  # [B, N, M, 3]
+    r_rx = _unit_direction(zoa_b, aoa_b)  # [B, N, M, 3]
+
+    tx_phase = 2 * jnp.pi * jnp.einsum("bnmk,sk->bnms", r_tx, bs_pos)
+    rx_phase = 2 * jnp.pi * jnp.einsum("bnmk,uk->bnmu", r_rx, ue_pos)
+    a_tx = jnp.exp(1j * tx_phase)  # [B, N, M, S]
+    a_rx = jnp.exp(1j * rx_phase)  # [B, N, M, U]
+
+    # BS element pattern (field amplitude); UE is omni.
+    if model.bs_pattern_38901:
+        gain_db = _element_pattern_38901_db(zod_b, aod_b)
+        a_tx = a_tx * (10.0 ** (gain_db / 20.0))[..., None]
+
+    # Doppler: random UE travel direction in the x-y plane.
+    vel_az = jax.random.uniform(k_vel, (batch_size,), minval=0.0, maxval=2 * jnp.pi)
+    vel = model.ue_speed_ms * jnp.stack(
+        [jnp.cos(vel_az), jnp.sin(vel_az), jnp.zeros_like(vel_az)], axis=-1
+    )  # [B, 3]
+    doppler = jnp.einsum("bnmk,bk->bnm", r_rx, vel) / model.wavelength  # Hz
+
+    t = jnp.arange(num_slots) / model.sampling_frequency  # [T]
+    ray_phasor = jnp.exp(
+        1j * (phases[..., None] + 2 * jnp.pi * doppler[..., None] * t)
+    )  # [B, N, M, T]
+
+    amp = jnp.broadcast_to(
+        jnp.sqrt(powers / n_rays)[:, None], (n_clusters, n_rays)
+    )  # [N, M]
+
+    # h[b, t, u, s] = sum_{n,m} amp * ray_phasor * a_rx * a_tx
+    h = jnp.einsum("bnmt,bnmu,bnms,nm->btus", ray_phasor, a_rx, a_tx, amp)
+
+    # Per-sample energy normalization (Sionna cir_to_ofdm_channel normalize=True:
+    # unit mean energy per resource element over rx/tx/time).
+    energy = jnp.mean(jnp.abs(h) ** 2, axis=(1, 2, 3), keepdims=True)
+    h = h / jnp.sqrt(energy)
+    return h.astype(jnp.complex64)

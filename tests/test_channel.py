@@ -1,0 +1,116 @@
+"""Statistical validation of the JAX CDL channel + beam training chain.
+
+Per SURVEY §7.2 step 2, the channel model is validated on statistics (power
+normalization, temporal correlation vs. Doppler, beam-selection behavior), not
+bit-exactness vs. Sionna.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from channelestimationtransformer_tpu.channel.beamforming import (
+    beam_sweep_project,
+    dft_codebook,
+    standardize_time_series,
+)
+from channelestimationtransformer_tpu.channel.cdl import (
+    CDL_B,
+    CDLModel,
+    generate_cdl_channel,
+)
+from channelestimationtransformer_tpu.channel.dataset import (
+    generate_beamformed_dataset,
+    train_val_split,
+)
+
+SMALL = CDLModel(num_bs_ant=16, num_ut_ant=2)
+
+
+def test_cdl_shapes_and_normalization():
+    h = generate_cdl_channel(jax.random.key(0), SMALL, 4, 30)
+    assert h.shape == (4, 30, 2, 16)
+    assert h.dtype == jnp.complex64
+    # normalize=True semantics: unit mean energy per (slot, rx, tx) element.
+    for b in range(4):
+        np.testing.assert_allclose(
+            float(jnp.mean(jnp.abs(h[b]) ** 2)), 1.0, rtol=1e-4
+        )
+
+
+def test_cdl_temporal_correlation_tracks_doppler():
+    # Slower UE -> higher slot-to-slot correlation. 28 GHz @ SRS 1.6 kHz.
+    def corr(speed_ms):
+        m = CDLModel(num_bs_ant=8, num_ut_ant=1, ue_speed_ms=speed_ms)
+        h = generate_cdl_channel(jax.random.key(1), m, 32, 50)
+        x = np.asarray(h).reshape(32, 50, -1)
+        num = np.abs(np.mean(np.sum(x[:, 1:] * np.conj(x[:, :-1]), axis=-1)))
+        den = np.mean(np.sum(np.abs(x) ** 2, axis=-1))
+        return num / den
+
+    # At 1 m/s, 28 GHz, 0.625 ms slots: fD*T ~= 0.058 -> Jakes rho ~= 0.97.
+    c_slow = corr(1.0)
+    c_fast = corr(30.0)
+    assert c_slow > 0.95, c_slow
+    assert c_fast < c_slow - 0.3, (c_slow, c_fast)
+
+
+def test_cdl_is_deterministic_per_key():
+    a = generate_cdl_channel(jax.random.key(2), SMALL, 2, 10)
+    b = generate_cdl_channel(jax.random.key(2), SMALL, 2, 10)
+    c = generate_cdl_channel(jax.random.key(3), SMALL, 2, 10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_dft_codebook_properties():
+    cb = np.asarray(dft_codebook(16))
+    assert cb.shape == (16, 16)
+    # Unit-norm beams.
+    np.testing.assert_allclose(np.linalg.norm(cb, axis=0), 1.0, rtol=1e-6)
+    # Orthogonal (DFT) beams.
+    gram = cb.conj().T @ cb
+    np.testing.assert_allclose(np.abs(gram), np.eye(16), atol=1e-5)
+
+
+def test_beam_sweep_selects_steering_direction():
+    # Synthetic single-path channel exactly on beam k's steering vector ->
+    # beam k must be selected and carry (almost) all the power.
+    cb = dft_codebook(16)
+    k_true = 5
+    steer = np.conj(np.asarray(cb[:, k_true]))  # [S]
+    t = np.arange(20)
+    h = np.exp(1j * 0.01 * t)[None, :, None, None] * steer[None, None, None, :]
+    h = jnp.asarray(np.broadcast_to(h, (2, 20, 2, 16)).astype(np.complex64))
+    h_eff, selected = beam_sweep_project(h, cb, num_selected=4)
+    assert h_eff.shape == (2, 20, 4, 2)
+    assert (np.asarray(selected)[:, 0] == k_true).all()
+    # Selected-beam power dominates.
+    p = np.abs(np.asarray(h_eff)) ** 2
+    assert p[:, :, 0].sum() > 100 * p[:, :, 1:].sum()
+
+
+def test_standardize_time_series():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 40, 4, 2)) + 1j * rng.normal(size=(3, 40, 4, 2))
+    z = np.asarray(standardize_time_series(jnp.asarray(x)))
+    np.testing.assert_allclose(z.mean(axis=1), 0.0, atol=1e-5)
+    # MATLAB std normalization (N-1).
+    var = (np.abs(z) ** 2).sum(axis=1) / (40 - 1)
+    np.testing.assert_allclose(var, 1.0, rtol=1e-5)
+
+
+def test_generate_beamformed_dataset_end_to_end():
+    h = generate_beamformed_dataset(
+        jax.random.key(4),
+        model=SMALL,
+        num_samples=6,
+        num_slots=30,
+        batch_size=4,
+    )
+    assert h.shape == (6, 30, 2, 4)
+    train, val = train_val_split(h)
+    assert train.shape[0] == 5 and val.shape[0] == 1
+    # Standardized series: zero mean over slots.
+    np.testing.assert_allclose(np.asarray(h).mean(axis=1), 0.0, atol=1e-4)
