@@ -1,0 +1,76 @@
+"""Benchmark: training throughput of the flagship InformerStack on TPU.
+
+Measures the fully fused jitted train step (window sampling + AWGN + fwd/bwd +
+Adam) at the reference FullPrecision configuration (batch 256, seq_len 90,
+d_model 128, e_layers [4,3], d_layers 3, full attention, distil on) and prints
+one JSON line. Baseline: the reference's A100 training throughput of
+~3,370 samples/s (76 ms/batch of 256; BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from channelestimationtransformer_tpu.core.config import (
+        InformerConfig,
+        TrainConfig,
+    )
+    from channelestimationtransformer_tpu.models import build_informer
+    from channelestimationtransformer_tpu.train.trainer import (
+        create_train_state,
+        train_step,
+    )
+
+    cfg = InformerConfig()  # reference FullPrecision effective config
+    tc = TrainConfig()
+    model = build_informer(cfg)
+    state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
+
+    rng = np.random.default_rng(0)
+    n, slots = 512, 100
+    h = jnp.asarray(
+        (rng.normal(size=(n, slots, 2, 4)) + 1j * rng.normal(size=(n, slots, 2, 4)))
+        .astype(np.complex64)
+    )
+
+    kwargs = dict(
+        batch_size=tc.batch_size,
+        label_len=cfg.label_len,
+        seq_len=cfg.seq_len,
+        pred_len=cfg.pred_len,
+        snr_db=21.0,
+    )
+
+    # Warmup / compile.
+    key = jax.random.key(1)
+    state, m = train_step(state, h, key, **kwargs)
+    jax.block_until_ready(m["loss"])
+
+    steps = 50
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = train_step(state, h, jax.random.fold_in(key, i), **kwargs)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_s = steps * tc.batch_size / dt
+    baseline = 3370.0  # A100 80GB, reference FullPrecision/Figures/SNR.txt
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec",
+                "value": round(samples_per_s, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
