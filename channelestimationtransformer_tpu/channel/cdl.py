@@ -254,8 +254,20 @@ def generate_cdl_channel(
         jnp.sqrt(powers / n_rays)[:, None], (n_clusters, n_rays)
     )  # [N, M]
 
-    # h[b, t, u, s] = sum_{n,m} amp * ray_phasor * a_rx * a_tx
-    h = jnp.einsum("bnmt,bnmu,bnms,nm->btus", ray_phasor, a_rx, a_tx, amp)
+    # h[b, t, u, s] = sum_{n,m} amp * ray_phasor * a_rx * a_tx.
+    # Factor as one MXU matmul over the flattened (cluster, ray) axis K=N*M:
+    # P[b, K, t] (amplitude-weighted Doppler phasors) x A[b, K, u*s] (rx (x) tx
+    # steering outer products) -> [b, t, u*s]. This keeps the largest
+    # intermediate at O(B*K*max(T, U*S)) instead of the O(B*K*T*U) blowup a
+    # naive einsum contraction order produces.
+    k = n_clusters * n_rays
+    p = (amp[None, :, :, None] * ray_phasor).reshape(batch_size, k, num_slots)
+    steer = (a_rx[..., :, None] * a_tx[..., None, :]).reshape(
+        batch_size, k, model.num_ut_ant * model.num_bs_ant
+    )
+    h = jnp.einsum("bkt,bkf->btf", p, steer).reshape(
+        batch_size, num_slots, model.num_ut_ant, model.num_bs_ant
+    )
 
     # Per-sample energy normalization (Sionna cir_to_ofdm_channel normalize=True:
     # unit mean energy per resource element over rx/tx/time).

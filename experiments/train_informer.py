@@ -1,0 +1,134 @@
+"""FullPrecision experiment driver: train the Informer channel predictor.
+
+Reference: ``FullPrecision/QuantizationAwareTraining.py`` + its sbatch sweeps
+(SNR, seq_len, label_len, d_model, d_ff, attn, distil — ``FullPrecision/*.sbatch``).
+The same sweepable fields are CLI flags here; logs use the reference's parseable
+format; results are written as JSON next to the checkpoints.
+
+Usage:
+    python experiments/train_informer.py --snr 21 --epochs 100
+    python experiments/train_informer.py --seq-len 50 --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
+from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
+from channelestimationtransformer_tpu.models import build_informer
+from channelestimationtransformer_tpu.train.checkpoint import save_checkpoint
+from channelestimationtransformer_tpu.train.trainer import Trainer
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--snr", type=float, default=21.0)
+    p.add_argument("--seq-len", type=int, default=90)
+    p.add_argument("--label-len", type=int, default=10)
+    p.add_argument("--pred-len", type=int, default=5)
+    p.add_argument("--d-model", type=int, default=128)
+    p.add_argument("--n-heads", type=int, default=8)
+    p.add_argument("--e-layers", type=int, nargs="+", default=[4, 3])
+    p.add_argument("--d-layers", type=int, default=3)
+    p.add_argument("--d-ff", type=int, default=64)
+    p.add_argument("--dropout", type=float, default=0.05)
+    p.add_argument("--attn", choices=["full", "prob"], default="full")
+    p.add_argument("--no-distil", action="store_true")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--steps-per-epoch", type=int, default=226)
+    p.add_argument("--train-samples", type=int, default=8192)
+    p.add_argument("--val-samples", type=int, default=2048)
+    p.add_argument("--num-slots", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="weights")
+    p.add_argument("--tag", type=str, default="")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = InformerConfig(
+        seq_len=args.seq_len,
+        label_len=args.label_len,
+        pred_len=args.pred_len,
+        d_model=args.d_model,
+        n_heads=args.n_heads,
+        e_layers=tuple(args.e_layers),
+        d_layers=args.d_layers,
+        d_ff=args.d_ff,
+        dropout=args.dropout,
+        attn=args.attn,
+        distil=not args.no_distil,
+    )
+    tc = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        lr=args.lr,
+        steps_per_epoch=args.steps_per_epoch,
+        seed=args.seed,
+    )
+    # Reference model-name line (parsed by Figures/parse.py).
+    name = (
+        f"ei_{cfg.enc_in}_di_{cfg.dec_in}_co_{cfg.c_out}_sl_{cfg.seq_len}"
+        f"_ll_{cfg.label_len}_pl_{cfg.pred_len}_f_{cfg.factor}_dm_{cfg.d_model}"
+        f"_nh_{cfg.n_heads}_el_{list(cfg.e_layers)}_dl_{cfg.d_layers}"
+        f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
+        + (f"_{args.tag}" if args.tag else "")
+    )
+    print(f"Model_name:  {name}", flush=True)
+    print(f"Using device: {jax.devices()[0]}", flush=True)
+
+    t0 = time.time()
+    key = jax.random.key(args.seed + 100)
+    k1, k2 = jax.random.split(key)
+    train_ds = make_window_dataset(
+        k1, model=CDLModel(), num_samples=args.train_samples,
+        num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
+        snr_db=args.snr,
+    )
+    val_ds = make_window_dataset(
+        k2, model=CDLModel(), num_samples=args.val_samples,
+        num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
+        snr_db=args.snr,
+    )
+    jax.block_until_ready(train_ds.h)
+    print(f"Dataset generated in {time.time() - t0:.1f}s "
+          f"(train {train_ds.h.shape}, val {val_ds.h.shape})", flush=True)
+
+    trainer = Trainer(
+        model=build_informer(cfg), cfg=cfg, train_cfg=tc,
+        train_data=train_ds, val_data=val_ds,
+    )
+    history = trainer.fit()
+
+    os.makedirs(args.out, exist_ok=True)
+    save_checkpoint(trainer.state, args.out, f"tmodel_{name}_", args.epochs)
+    result = {
+        "name": name,
+        "snr": args.snr,
+        "epochs": args.epochs,
+        "final_val_nmse": history[-1]["nmse"],
+        "final_val_nmse_db": float(10 * np.log10(history[-1]["nmse"])),
+        "final_val_split": [float(v) for v in history[-1]["split"]],
+        "history_nmse": [h["nmse"] for h in history],
+    }
+    with open(os.path.join(args.out, f"result_{name}.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items() if k != "history_nmse"}))
+
+
+if __name__ == "__main__":
+    main()
