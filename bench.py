@@ -33,10 +33,7 @@ def main():
 
     rng = np.random.default_rng(0)
     n, slots = 512, 100
-    h = jnp.asarray(
-        (rng.normal(size=(n, slots, 2, 4)) + 1j * rng.normal(size=(n, slots, 2, 4)))
-        .astype(np.complex64)
-    )
+    h = jnp.asarray(rng.normal(size=(n, slots, 2, 4, 2)).astype(np.float32))
 
     kwargs = dict(
         batch_size=tc.batch_size,

@@ -1,5 +1,5 @@
 from .cdl import CDL_B, CDLModel, generate_cdl_channel
-from .beamforming import beam_sweep_project, dft_codebook
+from .beamforming import beam_sweep_project, dft_codebook, dft_codebook_ri
 from .dataset import generate_beamformed_dataset
 
 __all__ = [
@@ -8,5 +8,6 @@ __all__ = [
     "generate_cdl_channel",
     "beam_sweep_project",
     "dft_codebook",
+    "dft_codebook_ri",
     "generate_beamformed_dataset",
 ]

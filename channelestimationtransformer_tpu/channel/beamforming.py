@@ -6,7 +6,8 @@ top-4-per-slot histogram over all slots, projection onto the 4 winners).
 
 The MATLAB triple loop (batch x slot x beam) becomes two einsums and a
 scatter-add histogram; the whole beam-training stage for a [128, 150] batch is
-one fused XLA program on the MXU.
+one fused XLA program on the MXU. All program boundaries use the ri
+(re/im-pair float32) representation — see ``data/packing.py``.
 """
 
 from __future__ import annotations
@@ -18,8 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def dft_codebook(num_elements: int) -> jnp.ndarray:
-    """DFT beam codebook ``[num_elements, num_beams=num_elements]``.
+def dft_codebook(num_elements: int) -> np.ndarray:
+    """DFT beam codebook ``[num_elements, num_beams=num_elements]`` (complex
+    NumPy, host-side constant).
 
     Matches ``getDFTCodebook.m`` for a horizontal ULA (Ntv=1): beam k has
     weights ``w_s = exp(j*2*pi*(s - N/2) * k/N) / sqrt(N)``.
@@ -27,8 +29,13 @@ def dft_codebook(num_elements: int) -> jnp.ndarray:
     n = num_elements
     s = np.arange(n) - n / 2.0
     k = np.arange(n) / n
-    beams = np.exp(2j * np.pi * np.outer(s, k)) / np.sqrt(n)
-    return jnp.asarray(beams, dtype=jnp.complex64)
+    return (np.exp(2j * np.pi * np.outer(s, k)) / np.sqrt(n)).astype(np.complex64)
+
+
+def dft_codebook_ri(num_elements: int) -> jnp.ndarray:
+    """ri representation ``[S, K, 2]`` of :func:`dft_codebook` for jit args."""
+    cb = dft_codebook(num_elements)
+    return jnp.asarray(np.stack([cb.real, cb.imag], axis=-1), jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("num_selected",))
@@ -40,14 +47,14 @@ def beam_sweep_project(
     """Beam training + projection for a batch of channel trajectories.
 
     Args:
-      h: complex ``[B, T, U, S]`` (rx antennas U, tx antennas S).
-      codebook: ``[S, num_beams]``.
+      h: float32 ri ``[B, T, U, S, 2]`` (rx antennas U, tx antennas S).
+      codebook: float32 ri ``[S, num_beams, 2]``.
       num_selected: beams kept (reference: 4).
 
     Returns:
-      ``(h_eff, selected)`` where ``h_eff`` is complex ``[B, T, num_selected, U]``
+      ``(h_eff, selected)``: ``h_eff`` float32 ri ``[B, T, num_selected, U, 2]``
       (beam-projected effective channel, the ``H_channel`` layout of
-      ``Beamforming.m:106-118``) and ``selected`` is ``[B, num_selected]`` beam
+      ``Beamforming.m:106-118``) and ``selected`` ``[B, num_selected]`` beam
       indices.
 
     Selection mirrors the MATLAB exactly: per slot, rank beams by received
@@ -57,10 +64,14 @@ def beam_sweep_project(
     """
     num_beams = codebook.shape[1]
 
-    # Projection of every beam at every slot: [B, T, U, beams].
-    proj = jnp.einsum("btus,sk->btuk", h, codebook)
-    power = jnp.sum(jnp.abs(proj) ** 2, axis=2)  # [B, T, beams]
+    # Complex projection expressed on real pairs:
+    # (hr + j hi)(cr + j ci) = (hr cr - hi ci) + j (hr ci + hi cr).
+    hr, hi = h[..., 0], h[..., 1]
+    cr, ci = codebook[..., 0], codebook[..., 1]
+    pr = jnp.einsum("btus,sk->btuk", hr, cr) - jnp.einsum("btus,sk->btuk", hi, ci)
+    pi = jnp.einsum("btus,sk->btuk", hr, ci) + jnp.einsum("btus,sk->btuk", hi, cr)
 
+    power = jnp.sum(pr**2 + pi**2, axis=2)  # [B, T, beams]
     _, top_per_slot = jax.lax.top_k(power, num_selected)  # [B, T, num_selected]
 
     # Histogram of per-slot winners over (slots x rank).
@@ -70,25 +81,23 @@ def beam_sweep_project(
     )(flat)
     _, selected = jax.lax.top_k(counts, num_selected)  # [B, num_selected]
 
-    # Gather the winners' projections: proj is [B, T, U, beams].
-    h_eff = jnp.take_along_axis(
-        proj, selected[:, None, None, :], axis=3
-    )  # [B, T, U, num_selected]
-    h_eff = jnp.swapaxes(h_eff, 2, 3)  # [B, T, num_selected, U]
+    # Gather the winners' projections: [B, T, U, beams] -> [B, T, U, sel].
+    take = lambda p: jnp.take_along_axis(p, selected[:, None, None, :], axis=3)
+    h_eff = jnp.stack([take(pr), take(pi)], axis=-1)  # [B, T, U, sel, 2]
+    h_eff = jnp.swapaxes(h_eff, 2, 3)  # [B, T, sel, U, 2]
     return h_eff, selected
 
 
 def standardize_time_series(h_eff: jnp.ndarray) -> jnp.ndarray:
-    """Per-(beam, rx) complex z-score over the slot axis.
+    """Per-(beam, rx) complex z-score over the slot axis (axis 1), on the ri
+    representation.
 
-    Matches MATLAB ``normalize(H_channel_batch)`` (``Beamforming.m:119``),
-    which standardizes each time series along the first non-singleton (slot)
-    dimension before saving.
+    Matches MATLAB ``normalize(H_channel_batch)`` (``Beamforming.m:119``):
+    subtract the complex mean, divide by the N-1-normalized complex std.
     """
-    mean = jnp.mean(h_eff, axis=1, keepdims=True)
+    mean = jnp.mean(h_eff, axis=1, keepdims=True)  # complex mean == per-channel
     centered = h_eff - mean
-    # MATLAB std of complex data: sqrt(E|x - mean|^2) with N-1 normalization.
-    var = jnp.sum(jnp.abs(centered) ** 2, axis=1, keepdims=True) / (
-        h_eff.shape[1] - 1
-    )
-    return centered / jnp.sqrt(var)
+    var = jnp.sum(
+        centered[..., 0] ** 2 + centered[..., 1] ** 2, axis=1, keepdims=True
+    ) / (h_eff.shape[1] - 1)
+    return centered / jnp.sqrt(var)[..., None]

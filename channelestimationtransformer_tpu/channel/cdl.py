@@ -169,9 +169,10 @@ def generate_cdl_channel(
 ) -> jnp.ndarray:
     """Sample the frequency-flat per-slot MIMO channel.
 
-    Returns complex64 ``[batch, num_slots, num_ut_ant, num_bs_ant]`` — the
-    downlink channel (UE receives), i.e. the ``[Rx, Tx]`` matrix the MATLAB
-    beam sweep consumes (reference ``Beamforming.m:52-66``).
+    Returns float32 ``[batch, num_slots, num_ut_ant, num_bs_ant, 2]`` (re/im
+    pairs — complex stays internal to the program, see ``data/packing.py``) —
+    the downlink channel (UE receives), i.e. the ``[Rx, Tx]`` matrix the
+    MATLAB beam sweep consumes (reference ``Beamforming.m:52-66``).
 
     Per batch sample: random ray coupling is realized implicitly by drawing
     i.i.d. ray offsets pairings via permutation, random initial ray phases,
@@ -273,4 +274,4 @@ def generate_cdl_channel(
     # unit mean energy per resource element over rx/tx/time).
     energy = jnp.mean(jnp.abs(h) ** 2, axis=(1, 2, 3), keepdims=True)
     h = h / jnp.sqrt(energy)
-    return h.astype(jnp.complex64)
+    return jnp.stack([h.real, h.imag], axis=-1).astype(jnp.float32)

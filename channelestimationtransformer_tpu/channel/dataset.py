@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.windows import WindowDataset
-from .beamforming import beam_sweep_project, dft_codebook, standardize_time_series
+from .beamforming import beam_sweep_project, dft_codebook_ri, standardize_time_series
 from .cdl import CDLModel, generate_cdl_channel
 
 
@@ -35,22 +35,23 @@ def generate_beamformed_dataset(
     """Generate ``[num_samples, num_slots, Nr, Nt=beams]`` effective channels.
 
     Output layout matches the repacked reference pickles
-    (``GenerateChannelsFreqPostMatlab.py:23-48``: ``[B*Sc, Slot, Nr, Nt]``).
-    Generation is chunked by ``batch_size`` to bound peak memory (the 64-antenna
-    pre-beamforming channel is the big intermediate).
+    (``GenerateChannelsFreqPostMatlab.py:23-48``: ``[B*Sc, Slot, Nr, Nt]``) in
+    the ri representation ``[N, slots, Nr, Nt, 2]``. Generation is chunked by
+    ``batch_size`` to bound peak memory (the 64-antenna pre-beamforming
+    channel is the big intermediate).
     """
-    codebook = dft_codebook(model.num_bs_ant)
+    codebook = dft_codebook_ri(model.num_bs_ant)
     chunks = []
     remaining = num_samples
     while remaining > 0:
         b = min(batch_size, remaining)
         key, sub = jax.random.split(key)
-        h = generate_cdl_channel(sub, model, b, num_slots)  # [b, T, U, S]
+        h = generate_cdl_channel(sub, model, b, num_slots)  # [b, T, U, S, 2]
         h_eff, _ = beam_sweep_project(h, codebook, num_beams_selected)
         if standardize:
             h_eff = standardize_time_series(h_eff)
-        # [b, T, beams, U] -> [b, T, U, beams]: the reference repack transposes
-        # to [Nr=Rx, Nt=beam] (GenerateChannelsFreqPostMatlab.py:9).
+        # [b, T, beams, U, 2] -> [b, T, U, beams, 2]: the reference repack
+        # transposes to [Nr=Rx, Nt=beam] (GenerateChannelsFreqPostMatlab.py:9).
         chunks.append(jnp.swapaxes(h_eff, 2, 3))
         remaining -= b
     return jnp.concatenate(chunks, axis=0)
@@ -75,9 +76,13 @@ def make_window_dataset(
 
 def save_reference_format(path: str, h: jnp.ndarray) -> None:
     """Pickle in the reference's dataset format (complex ndarray
-    ``[N, slots, Nr, Nt]``), interoperable with ``SeqData``."""
+    ``[N, slots, Nr, Nt]``), interoperable with ``SeqData``. Accepts the ri
+    representation and recombines to complex on host."""
+    arr = np.asarray(h)
+    if arr.shape[-1] == 2 and not np.iscomplexobj(arr):
+        arr = arr[..., 0] + 1j * arr[..., 1]
     with open(path, "wb") as f:
-        pickle.dump(np.asarray(h), f)
+        pickle.dump(arr.astype(np.complex64), f)
 
 
 def train_val_split(

@@ -14,6 +14,67 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Real/imag-pair ("ri") representation.
+#
+# TPUs have no native complex arithmetic — XLA decomposes complex HLO into
+# real ops — and the experimental runtime rejects complex arrays at program
+# boundaries (transfers and some fused executables). The framework therefore
+# keeps channels as float32 ``[..., 2]`` re/im pairs at ALL jit boundaries;
+# complex dtype is only materialized transiently inside a program (or on CPU
+# for interchange with reference-format pickles).
+# ---------------------------------------------------------------------------
+
+
+def to_ri(h: jnp.ndarray) -> jnp.ndarray:
+    """complex ``[...]`` -> float32 ``[..., 2]`` (re, im)."""
+    return jnp.stack([h.real, h.imag], axis=-1).astype(jnp.float32)
+
+
+def from_ri(x: jnp.ndarray) -> jnp.ndarray:
+    """float32 ``[..., 2]`` -> complex64 ``[...]`` (use only inside programs
+    or on CPU)."""
+    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+def ri_abs2(x: jnp.ndarray) -> jnp.ndarray:
+    """|h|^2 for the ri representation: re^2 + im^2, shape ``[...]``."""
+    return x[..., 0] ** 2 + x[..., 1] ** 2
+
+
+def ri_channel_norm(x: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """:func:`channel_norm` on the ri representation. ``axis`` indexes the
+    *complex* dims (negative, excluding the trailing ri axis)."""
+    if axis is None:
+        power = jnp.mean(ri_abs2(x))
+        return x / jnp.sqrt(power)
+    axes = tuple(a - 1 if a < 0 else a for a in axis)
+    power = jnp.mean(ri_abs2(x), axis=axes, keepdims=True)
+    return x / jnp.sqrt(power)[..., None]
+
+
+def ri_awgn(key: jax.Array, x: jnp.ndarray, snr_db: float, axis=None) -> jnp.ndarray:
+    """:func:`awgn` on the ri representation (same SNR convention)."""
+    sigma = 10.0 ** (-snr_db / 10.0)
+    noise = jnp.sqrt(sigma / 2.0) * jax.random.normal(key, x.shape, dtype=x.dtype)
+    if axis is None:
+        rms = jnp.sqrt(jnp.mean(ri_abs2(x)))
+    else:
+        axes = tuple(a - 1 if a < 0 else a for a in axis)
+        rms = jnp.sqrt(jnp.mean(ri_abs2(x), axis=axes, keepdims=True))[..., None]
+    return x + noise * rms
+
+
+def ri_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """ri channel ``[..., T, Nr, Nt, 2]`` -> features ``[..., T, Nr*Nt*2]``.
+
+    A pure reshape: the ``[Nr, Nt, (re, im)]`` minor dims flatten exactly into
+    the LoadBatch interleaved layout (``Utils/dataset.py:20-44``).
+    """
+    *lead, t, nr, nt, two = x.shape
+    return x.reshape(*lead, t, nr * nt * two)
+
+
 def complex_to_real(h: jnp.ndarray) -> jnp.ndarray:
     """Flatten a complex channel ``[..., T, Nr, Nt]`` to real features
     ``[..., T, Nr*Nt*2]`` with real/imag interleaved as last-dim pairs.

@@ -1,0 +1,97 @@
+"""End-to-end MIMO link simulation: bits -> QAM -> precode -> channel -> AWGN
+-> equalize -> demap -> BER.
+
+Reference: ``MimoSimulation/KerasFullSimulation.py:243-317`` (Sionna Keras
+model: LDPC + QAM + ZF precoding + LS/perfect CSI + LMMSE + BER via ``sim_ber``)
+and ``MimoSimulation/Predict.py:88-135`` (channel-predictor-in-the-loop).
+
+Differences, documented per SURVEY §7.2 step 10: the link here is uncoded
+(no LDPC — the reference relies on Sionna's; coded BER can be layered on) and
+frequency-flat (the reference's ``fft_size=1`` datasets are flat too). The
+whole Monte-Carlo BER loop is one jitted program with RNG keys.
+
+The interesting capability is :func:`simulate_ber` with ``h_precode != h_true``:
+precoding on a *predicted* channel while transmitting over the true one —
+quantifying what channel-prediction NMSE costs in BER, which is exactly the
+reference's end-to-end question.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .estimation import lmmse_equalize
+from .precoding import zf_precoder
+from .qam import qam_demap_hard, qam_map
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkConfig:
+    qam_order: int = 4
+    n_streams: int = 2  # spatial streams (== UE antennas here)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_symbols"))
+def simulate_ber(
+    key: jax.Array,
+    h_true: jnp.ndarray,
+    h_precode: jnp.ndarray,
+    ebno_db,
+    cfg: LinkConfig = LinkConfig(),
+    num_symbols: int = 64,
+):
+    """Monte-Carlo BER for a batch of channels.
+
+    Args:
+      h_true:    ``[B, n_rx, n_tx]`` actual channel during data transmission.
+      h_precode: ``[B, n_rx, n_tx]`` channel used to compute the ZF precoder
+                 (pass ``h_true`` for perfect CSI; pass a predictor's output
+                 for the prediction-in-the-loop BER).
+      ebno_db:   per-bit SNR in dB.
+      num_symbols: QAM symbols per stream per channel realization.
+
+    Returns: (ber, bits_total) — bit error rate and count.
+    """
+    import numpy as np
+
+    b = h_true.shape[0]
+    bps = int(np.log2(cfg.qam_order))
+    n_bits = cfg.n_streams * num_symbols * bps
+
+    k_bits, k_noise = jax.random.split(key)
+    bits = jax.random.bernoulli(k_bits, 0.5, (b, n_bits)).astype(jnp.float32)
+
+    # Map to symbols per stream: [B, n_streams, num_symbols].
+    syms = qam_map(bits, cfg.qam_order).reshape(b, cfg.n_streams, num_symbols)
+
+    # ZF precode on the (possibly predicted) channel.
+    p = zf_precoder(h_precode)  # [B, n_tx, n_rx(=streams)]
+    x = jnp.einsum("bts,bsn->btn", p, syms)  # [B, n_tx, num_symbols]
+
+    # True channel + AWGN. Es/N0 = Eb/N0 * bps (unit-energy constellation).
+    y = jnp.einsum("brt,btn->brn", h_true, x)
+    esno = 10.0 ** (jnp.asarray(ebno_db) / 10.0) * bps
+    # Noise power per rx: signal power spread over streams; precoder is unit
+    # power so symbol energy at TX is ~1/n_streams per stream.
+    noise_var = 1.0 / esno
+    kr, ki = jax.random.split(k_noise)
+    noise = jnp.sqrt(noise_var / 2) * (
+        jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
+    )
+    y = y + noise
+
+    # LMMSE equalization with the effective channel h_true @ p.
+    h_eff = h_true @ p  # [B, n_rx, n_streams]
+    y_t = jnp.swapaxes(y, 1, 2)  # [B, num_symbols, n_rx]
+    x_hat = jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))(
+        y_t, h_eff
+    )  # [B, num_symbols, n_streams]
+    x_hat = jnp.swapaxes(x_hat, 1, 2).reshape(b, cfg.n_streams * num_symbols)
+
+    bits_hat = qam_demap_hard(x_hat, cfg.qam_order).reshape(b, n_bits)
+    errors = jnp.sum(jnp.abs(bits_hat - bits))
+    return errors / (b * n_bits), b * n_bits

@@ -2,7 +2,8 @@
 
 Per SURVEY §7.2 step 2, the channel model is validated on statistics (power
 normalization, temporal correlation vs. Doppler, beam-selection behavior), not
-bit-exactness vs. Sionna.
+bit-exactness vs. Sionna. All arrays use the ri (re/im-pair) representation —
+see ``data/packing.py``; tests recombine to complex in NumPy where convenient.
 """
 
 import jax
@@ -13,6 +14,7 @@ import pytest
 from channelestimationtransformer_tpu.channel.beamforming import (
     beam_sweep_project,
     dft_codebook,
+    dft_codebook_ri,
     standardize_time_series,
 )
 from channelestimationtransformer_tpu.channel.cdl import (
@@ -28,15 +30,19 @@ from channelestimationtransformer_tpu.channel.dataset import (
 SMALL = CDLModel(num_bs_ant=16, num_ut_ant=2)
 
 
+def _to_c(x):
+    x = np.asarray(x)
+    return x[..., 0] + 1j * x[..., 1]
+
+
 def test_cdl_shapes_and_normalization():
     h = generate_cdl_channel(jax.random.key(0), SMALL, 4, 30)
-    assert h.shape == (4, 30, 2, 16)
-    assert h.dtype == jnp.complex64
+    assert h.shape == (4, 30, 2, 16, 2)
+    assert h.dtype == jnp.float32
+    hc = _to_c(h)
     # normalize=True semantics: unit mean energy per (slot, rx, tx) element.
     for b in range(4):
-        np.testing.assert_allclose(
-            float(jnp.mean(jnp.abs(h[b]) ** 2)), 1.0, rtol=1e-4
-        )
+        np.testing.assert_allclose(np.mean(np.abs(hc[b]) ** 2), 1.0, rtol=1e-4)
 
 
 def test_cdl_temporal_correlation_tracks_doppler():
@@ -44,7 +50,7 @@ def test_cdl_temporal_correlation_tracks_doppler():
     def corr(speed_ms):
         m = CDLModel(num_bs_ant=8, num_ut_ant=1, ue_speed_ms=speed_ms)
         h = generate_cdl_channel(jax.random.key(1), m, 32, 50)
-        x = np.asarray(h).reshape(32, 50, -1)
+        x = _to_c(h).reshape(32, 50, -1)
         num = np.abs(np.mean(np.sum(x[:, 1:] * np.conj(x[:, :-1]), axis=-1)))
         den = np.mean(np.sum(np.abs(x) ** 2, axis=-1))
         return num / den
@@ -65,13 +71,16 @@ def test_cdl_is_deterministic_per_key():
 
 
 def test_dft_codebook_properties():
-    cb = np.asarray(dft_codebook(16))
+    cb = dft_codebook(16)
     assert cb.shape == (16, 16)
     # Unit-norm beams.
     np.testing.assert_allclose(np.linalg.norm(cb, axis=0), 1.0, rtol=1e-6)
     # Orthogonal (DFT) beams.
     gram = cb.conj().T @ cb
     np.testing.assert_allclose(np.abs(gram), np.eye(16), atol=1e-5)
+    # ri form matches.
+    ri = np.asarray(dft_codebook_ri(16))
+    np.testing.assert_allclose(ri[..., 0] + 1j * ri[..., 1], cb, atol=1e-6)
 
 
 def test_beam_sweep_selects_steering_direction():
@@ -79,25 +88,26 @@ def test_beam_sweep_selects_steering_direction():
     # beam k must be selected and carry (almost) all the power.
     cb = dft_codebook(16)
     k_true = 5
-    steer = np.conj(np.asarray(cb[:, k_true]))  # [S]
+    steer = np.conj(cb[:, k_true])  # [S]
     t = np.arange(20)
     h = np.exp(1j * 0.01 * t)[None, :, None, None] * steer[None, None, None, :]
-    h = jnp.asarray(np.broadcast_to(h, (2, 20, 2, 16)).astype(np.complex64))
-    h_eff, selected = beam_sweep_project(h, cb, num_selected=4)
-    assert h_eff.shape == (2, 20, 4, 2)
+    h = np.broadcast_to(h, (2, 20, 2, 16)).astype(np.complex64)
+    h_ri = jnp.asarray(np.stack([h.real, h.imag], axis=-1), jnp.float32)
+    h_eff, selected = beam_sweep_project(h_ri, dft_codebook_ri(16), num_selected=4)
+    assert h_eff.shape == (2, 20, 4, 2, 2)
     assert (np.asarray(selected)[:, 0] == k_true).all()
     # Selected-beam power dominates.
-    p = np.abs(np.asarray(h_eff)) ** 2
+    p = np.abs(_to_c(h_eff)) ** 2
     assert p[:, :, 0].sum() > 100 * p[:, :, 1:].sum()
 
 
 def test_standardize_time_series():
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(3, 40, 4, 2)) + 1j * rng.normal(size=(3, 40, 4, 2))
+    x = rng.normal(size=(3, 40, 4, 2, 2)).astype(np.float32)
     z = np.asarray(standardize_time_series(jnp.asarray(x)))
     np.testing.assert_allclose(z.mean(axis=1), 0.0, atol=1e-5)
-    # MATLAB std normalization (N-1).
-    var = (np.abs(z) ** 2).sum(axis=1) / (40 - 1)
+    # MATLAB std normalization (N-1) over the complex magnitude.
+    var = (z[..., 0] ** 2 + z[..., 1] ** 2).sum(axis=1) / (40 - 1)
     np.testing.assert_allclose(var, 1.0, rtol=1e-5)
 
 
@@ -109,7 +119,7 @@ def test_generate_beamformed_dataset_end_to_end():
         num_slots=30,
         batch_size=4,
     )
-    assert h.shape == (6, 30, 2, 4)
+    assert h.shape == (6, 30, 2, 4, 2)
     train, val = train_val_split(h)
     assert train.shape[0] == 5 and val.shape[0] == 1
     # Standardized series: zero mean over slots.
