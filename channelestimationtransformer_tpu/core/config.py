@@ -46,6 +46,10 @@ class InformerConfig:
     mix: bool = True  # transpose heads<->seq on decoder self-attn output
     output_attention: bool = False
     dtype: str = "float32"  # computation dtype for activations
+    # LSQ weight quantization of attention/FFN projections (reference
+    # models/InformerLSQ + models/InformerLSQFibbinary): None = FP32.
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     def __post_init__(self):
         if self.attn not in ("full", "prob"):

@@ -154,6 +154,18 @@ class AttentionLayer(nn.Module):
     output_attention: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None  # LSQ-quantize q/k/v/out kernels
+    lsq_fibbinary: bool = False
+
+    def _dense(self, features, name):
+        if self.lsq_nbits is not None:
+            from ..ops.quant.lsq import DenseLSQ
+
+            return DenseLSQ(
+                features, nbits=self.lsq_nbits, quantize=True,
+                fibbinary=self.lsq_fibbinary, dtype=self.dtype, name=name,
+            )
+        return nn.Dense(features, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, queries, keys, values, *, deterministic: bool = True):
@@ -162,7 +174,7 @@ class AttentionLayer(nn.Module):
         h = self.n_heads
         d_head = self.d_model // h
 
-        dense = lambda name: nn.Dense(d_head * h, dtype=self.dtype, name=name)
+        dense = lambda name: self._dense(d_head * h, name)
         q = dense("query")(queries).reshape(b, l, h, d_head)
         k = dense("key")(keys).reshape(b, s, h, d_head)
         v = dense("value")(values).reshape(b, s, h, d_head)
@@ -205,5 +217,5 @@ class AttentionLayer(nn.Module):
             # interleaving heads with sequence (attn.py:216-218).
             out = jnp.swapaxes(out, 1, 2)
         out = out.reshape(b, l, h * d_head)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
+        out = self._dense(self.d_model, "out")(out)
         return out, attn

@@ -29,6 +29,8 @@ class DecoderLayer(nn.Module):
     mix: bool = True
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x, cross, *, deterministic: bool = True):
@@ -42,6 +44,8 @@ class DecoderLayer(nn.Module):
             mix=self.mix,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary,
             name="self_attention",
         )(x, x, x, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(self_out)
@@ -57,6 +61,8 @@ class DecoderLayer(nn.Module):
             mix=False,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary,
             name="cross_attention",
         )(x, cross, cross, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(cross_out)
@@ -64,7 +70,8 @@ class DecoderLayer(nn.Module):
 
         y = FeedForward(
             self.d_model, self.d_ff, self.dropout, self.activation,
-            dtype=self.dtype, name="ffn",
+            dtype=self.dtype, lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary, name="ffn",
         )(x, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + y)
 
@@ -83,6 +90,8 @@ class Decoder(nn.Module):
     mix: bool = True
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x, cross, *, deterministic: bool = True):
@@ -98,6 +107,8 @@ class Decoder(nn.Module):
                 mix=self.mix,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
+                lsq_nbits=self.lsq_nbits,
+                lsq_fibbinary=self.lsq_fibbinary,
                 name=f"layer_{i}",
             )(x, cross, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)

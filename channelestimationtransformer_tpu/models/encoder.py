@@ -55,20 +55,34 @@ class ConvLayer(nn.Module):
 
 class FeedForward(nn.Module):
     """Position-wise FFN as two k=1 convs (== dense layers), matching the
-    reference's ``conv1/conv2`` blocks (``encoder.py:31-33``)."""
+    reference's ``conv1/conv2`` blocks (``encoder.py:31-33``). With
+    ``lsq_nbits`` the kernels are LSQ fake-quantized (reference
+    ``models/InformerLSQ/encoder.py:38-39`` Conv1dLSQ swap)."""
 
     d_model: int
     d_ff: int
     dropout: float
     activation: str
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
+
+    def _dense(self, features, name):
+        if self.lsq_nbits is not None:
+            from ..ops.quant.lsq import DenseLSQ
+
+            return DenseLSQ(
+                features, nbits=self.lsq_nbits, quantize=True,
+                fibbinary=self.lsq_fibbinary, dtype=self.dtype, name=name,
+            )
+        return nn.Dense(features, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         act = nn.gelu if self.activation == "gelu" else nn.relu
-        y = nn.Dense(self.d_ff, dtype=self.dtype, name="conv1")(x)
+        y = self._dense(self.d_ff, "conv1")(x)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(act(y))
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="conv2")(y)
+        y = self._dense(self.d_model, "conv2")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
 
 
@@ -87,6 +101,8 @@ class EncoderLayer(nn.Module):
     output_attention: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
@@ -101,13 +117,16 @@ class EncoderLayer(nn.Module):
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary,
             name="attention",
         )(x, x, x, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(new_x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = FeedForward(
             self.d_model, self.d_ff, self.dropout, self.activation,
-            dtype=self.dtype, name="ffn",
+            dtype=self.dtype, lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary, name="ffn",
         )(x, deterministic=deterministic)
         out = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
         return out, attn
@@ -129,6 +148,8 @@ class Encoder(nn.Module):
     output_attention: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
@@ -144,6 +165,8 @@ class Encoder(nn.Module):
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            lsq_nbits=self.lsq_nbits,
+            lsq_fibbinary=self.lsq_fibbinary,
         )
         if self.distil and self.num_layers > 1:
             for i in range(self.num_layers - 1):
@@ -185,6 +208,8 @@ class EncoderStack(nn.Module):
     output_attention: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    lsq_nbits: int | None = None
+    lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
@@ -205,6 +230,8 @@ class EncoderStack(nn.Module):
                 output_attention=self.output_attention,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
+                lsq_nbits=self.lsq_nbits,
+                lsq_fibbinary=self.lsq_fibbinary,
                 name=f"encoder_{i}",
             )
             x_s, attn = enc(x[:, l - inp_len :, :], deterministic=deterministic)

@@ -54,6 +54,8 @@ class InformerBase(nn.Module):
             factor=cfg.factor,
             mix=cfg.mix,
             dtype=dtype,
+            lsq_nbits=cfg.lsq_nbits,
+            lsq_fibbinary=cfg.lsq_fibbinary,
             name="decoder",
         )(dec, enc_out, deterministic=deterministic)
 
@@ -82,6 +84,8 @@ class Informer(InformerBase):
             distil=cfg.distil,
             output_attention=cfg.output_attention,
             dtype=jnp.dtype(cfg.dtype),
+            lsq_nbits=cfg.lsq_nbits,
+            lsq_fibbinary=cfg.lsq_fibbinary,
             name="encoder",
         )
 
@@ -104,6 +108,8 @@ class InformerStack(InformerBase):
             distil=cfg.distil,
             output_attention=cfg.output_attention,
             dtype=jnp.dtype(cfg.dtype),
+            lsq_nbits=cfg.lsq_nbits,
+            lsq_fibbinary=cfg.lsq_fibbinary,
             name="encoder",
         )
 

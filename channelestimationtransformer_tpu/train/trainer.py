@@ -87,8 +87,7 @@ def _split_output(out):
     return out[0] if isinstance(out, tuple) else out
 
 
-@partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len", "snr_db"), donate_argnums=(0,))
-def train_step(
+def train_step_impl(
     state: TrainState,
     dataset_h: jnp.ndarray,
     step_rng: jax.Array,
@@ -119,6 +118,11 @@ def train_step(
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
     return state, {"loss": loss, "loss_split": split}
+
+
+train_step = partial(jax.jit, static_argnames=(
+    "batch_size", "label_len", "seq_len", "pred_len", "snr_db"
+), donate_argnums=(0,))(train_step_impl)
 
 
 @partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len", "snr_db"))
