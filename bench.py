@@ -33,7 +33,7 @@ def main():
 
     rng = np.random.default_rng(0)
     n, slots = 512, 100
-    h = jnp.asarray(rng.normal(size=(n, slots, 2, 4, 2)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(n, slots, 16)).astype(np.float32))
 
     kwargs = dict(
         batch_size=tc.batch_size,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.windows import WindowDataset
+from ..data.windows import WindowDataset, pack_features
 from .beamforming import beam_sweep_project, dft_codebook_ri, standardize_time_series
 from .cdl import CDLModel, generate_cdl_channel
 
@@ -71,7 +71,9 @@ def make_window_dataset(
     h = generate_beamformed_dataset(
         key, model=model, num_samples=num_samples, num_slots=num_slots
     )
-    return WindowDataset(h=h, seq_len=seq_len, pred_len=pred_len, snr_db=snr_db)
+    return WindowDataset(
+        h=pack_features(h), seq_len=seq_len, pred_len=pred_len, snr_db=snr_db
+    )
 
 
 def save_reference_format(path: str, h: jnp.ndarray) -> None:

@@ -4,12 +4,19 @@ Reference: ``Utils/dataset.py:91-153``. The reference keeps the pickled dataset
 on host and a torch DataLoader draws one random window per ``__getitem__`` with
 per-sample normalization + AWGN, then ships batches H2D every step.
 
-Here the whole dataset lives in device HBM in the **ri representation**
-(float32 ``[N, slots, Nr, Nt, 2]`` — see ``data/packing.py``: complex is kept
-off program boundaries on TPU) and an entire batch of windows is drawn *inside
-jit*: random sample indices + random window starts -> ``vmap(dynamic_slice)``,
-then normalization, AWGN, and feature packing (a pure reshape), all fused by
-XLA. No host in the loop, no per-step H2D copies.
+Here the whole dataset lives in device HBM in the **packed-feature layout**:
+float32 ``[N, slots, F]`` where ``F = Nr*Nt*2`` is exactly the LoadBatch
+feature interleaving (re/im pairs, ``Utils/dataset.py:20-44``). Rationale:
+
+- complex dtype never crosses a program boundary (TPUs have no native complex;
+  the runtime rejects complex executables' interfaces — see ``data/packing.py``),
+- the last dim is the model's feature dim (16+), not a 2-wide ri axis that
+  wastes 126/128 lanes of the VPU tile,
+- feature packing for the model becomes a no-op.
+
+A whole batch of windows is drawn *inside jit*: random sample indices + random
+window starts -> ``vmap(dynamic_slice)``, then normalization and AWGN, all
+fused by XLA. No host in the loop, no per-step H2D copies.
 """
 
 from __future__ import annotations
@@ -22,14 +29,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .packing import ri_awgn, ri_channel_norm, ri_pack
+
+def pack_features(h_ri: jnp.ndarray) -> jnp.ndarray:
+    """ri channel ``[..., T, Nr, Nt, 2]`` -> packed ``[..., T, Nr*Nt*2]``
+    (pure reshape; equals the reference LoadBatch layout)."""
+    *lead, t, nr, nt, two = h_ri.shape
+    return h_ri.reshape(*lead, t, nr * nt * two)
 
 
 @dataclasses.dataclass(frozen=True)
 class WindowDataset:
-    """A channel dataset of shape ``[N, slots, Nr, Nt, 2]`` (ri) in device HBM."""
+    """A channel dataset of shape ``[N, slots, F]`` (packed ri) in device HBM.
 
-    h: jnp.ndarray  # float32 [N, slots, nr, nt, 2]
+    ``F`` holds ``F/2`` complex coefficients as (re, im) pairs; per-sample
+    complex power is ``2 * mean(x^2)`` over the packed features.
+    """
+
+    h: jnp.ndarray  # float32 [N, slots, features]
     seq_len: int
     pred_len: int
     snr_db: float
@@ -44,18 +60,29 @@ class WindowDataset:
 
     @property
     def features(self) -> int:
-        return self.h.shape[2] * self.h.shape[3] * 2
+        return self.h.shape[-1]
 
     @classmethod
     def from_pickle(cls, path: str, *, seq_len: int, pred_len: int, snr_db: float):
         """Load a reference-format pickled dataset (complex ``[N, slots, Nr,
-        Nt]``, as produced by ``GenerateChannelsFreqPostMatlab.py``); converts
-        to the ri representation on host before the (real) H2D transfer."""
+        Nt]``, as produced by ``GenerateChannelsFreqPostMatlab.py``); packs to
+        the feature layout on host before the (real) H2D transfer."""
         with open(path, "rb") as f:
             arr = pickle.load(f)
         arr = np.asarray(arr)
+        n, slots, nr, nt = arr.shape
         ri = np.stack([arr.real, arr.imag], axis=-1).astype(np.float32)
-        return cls(h=jnp.asarray(ri), seq_len=seq_len, pred_len=pred_len, snr_db=snr_db)
+        return cls(
+            h=jnp.asarray(ri.reshape(n, slots, nr * nt * 2)),
+            seq_len=seq_len,
+            pred_len=pred_len,
+            snr_db=snr_db,
+        )
+
+
+def _complex_rms(x: jnp.ndarray, axis) -> jnp.ndarray:
+    """sqrt(mean |h|^2) over packed features: mean|h|^2 == 2*mean(x^2)."""
+    return jnp.sqrt(2.0 * jnp.mean(jnp.square(x), axis=axis, keepdims=True))
 
 
 def sample_windows(
@@ -65,29 +92,36 @@ def sample_windows(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw one batch of random windows. Returns ``(H, H_noise, H_seq, H_pred)``
     exactly like ``SeqData.__getitem__`` (reference ``Utils/dataset.py:124-153``),
-    in the ri representation ``[B, ., Nr, Nt, 2]``:
+    in the packed layout ``[B, ., F]``:
 
     - ``H``       clean window (L = seq+pred slots)
     - ``H_noise`` noisy window (AWGN applied to the whole normalized sample
-      before slicing, per-sample RMS-relative SNR)
+      before slicing; SNR relative to per-sample RMS signal power, matching
+      the reference ``noise()`` convention)
     - ``H_seq``   noisy history, first ``seq_len`` slots
     - ``H_pred``  clean future, last ``pred_len`` slots
     """
     h = dataset.h
-    n, slots, nr, nt, _ = h.shape
+    n, slots, feat = h.shape
     length = dataset.length
 
     k_idx, k_start, k_noise = jax.random.split(key, 3)
     idx = jax.random.randint(k_idx, (batch_size,), 0, n)
     starts = jax.random.randint(k_start, (batch_size,), 0, slots - length + 1)
-    noise_keys = jax.random.split(k_noise, batch_size)
 
-    samples = h[idx]  # [B, slots, nr, nt, 2]
-    samples = ri_channel_norm(samples, axis=(-3, -2, -1))
-    noisy = jax.vmap(lambda k, s: ri_awgn(k, s, dataset.snr_db))(noise_keys, samples)
+    samples = h[idx]  # [B, slots, F]
+    # Per-sample channelnorm (Utils/dataset.py:77-88): unit complex RMS.
+    rms = _complex_rms(samples, axis=(1, 2))
+    samples = samples / rms
+
+    # AWGN at snr_db relative to (now unit) signal power; each of re/im gets
+    # N(0, sigma/2) like the reference's complex noise (Utils/dataset.py:54-74).
+    sigma = 10.0 ** (-dataset.snr_db / 10.0)
+    noise = jnp.sqrt(sigma / 2.0) * jax.random.normal(k_noise, samples.shape)
+    noisy = samples + noise * _complex_rms(samples, axis=(1, 2))
 
     def window(x, start):
-        return jax.lax.dynamic_slice(x, (start, 0, 0, 0), (length, nr, nt, 2))
+        return jax.lax.dynamic_slice(x, (start, 0), (length, feat))
 
     h_clean = jax.vmap(window)(samples, starts)
     h_noisy = jax.vmap(window)(noisy, starts)
@@ -112,9 +146,7 @@ def make_batch(
       input construction, ``FullPrecision/QuantizationAwareTraining.py:224-240``),
     - ``target``  ``[B, pred_len, F]`` clean future features.
     """
-    _, _, h_seq, h_pred = sample_windows(key, dataset, batch_size)
-    enc_in = ri_pack(h_seq)
-    target = ri_pack(h_pred)
+    _, _, enc_in, target = sample_windows(key, dataset, batch_size)
     label = enc_in[:, enc_in.shape[1] - label_len :]
     zeros = jnp.zeros((enc_in.shape[0], target.shape[1], enc_in.shape[2]), enc_in.dtype)
     dec_in = jnp.concatenate([label, zeros], axis=1)

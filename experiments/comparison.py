@@ -34,7 +34,6 @@ from channelestimationtransformer_tpu.core.config import (
 )
 from channelestimationtransformer_tpu.core.metrics import nmse, nmse_split
 from channelestimationtransformer_tpu.data.windows import make_batch, sample_windows
-from channelestimationtransformer_tpu.data.packing import ri_pack
 from channelestimationtransformer_tpu.models import build_informer
 from channelestimationtransformer_tpu.models.recurrent import RecurrentPredictor
 from channelestimationtransformer_tpu.models.transformer import Transformer
@@ -57,9 +56,7 @@ def train_recurrent(cell, train_ds, val_ds, cfg, steps, lr=1e-3, seed=0):
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt, rng):
-        h, h_noise, _, _ = sample_windows(rng, train_ds, 64)
-        noisy = ri_pack(h_noise)
-        clean = ri_pack(h)
+        clean, noisy, _, _ = sample_windows(rng, train_ds, 64)
 
         def loss_fn(p):
             out = model.apply({"params": p}, noisy[:, :-1])
@@ -83,9 +80,7 @@ def eval_recurrent(params, model, ds_h, rng, pred_len, batch, seq_len, snr_db):
     from channelestimationtransformer_tpu.data.windows import WindowDataset
 
     ds = WindowDataset(h=ds_h, seq_len=seq_len, pred_len=pred_len, snr_db=snr_db)
-    _, _, h_seq, h_pred = sample_windows(rng, ds, batch)
-    noisy = ri_pack(h_seq)
-    clean = ri_pack(h_pred)
+    _, _, noisy, clean = sample_windows(rng, ds, batch)
     preds = model.apply({"params": params}, noisy, pred_len,
                         method=RecurrentPredictor.rollout)
     return nmse_split(preds, clean)
