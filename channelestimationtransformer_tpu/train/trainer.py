@@ -164,7 +164,7 @@ class Trainer:
     train_data: WindowDataset
     val_data: WindowDataset
     mesh: Any = None
-    log: Callable[[str], None] = print
+    log: Callable[[str], None] = lambda msg: print(msg, flush=True)
 
     def __post_init__(self):
         rng = jax.random.key(self.train_cfg.seed)
@@ -229,10 +229,14 @@ class Trainer:
                 total_split = total_split + metrics["loss_split"]
 
                 if batch_idx % tc.log_every == 0 and batch_idx > 0:
-                    jax.block_until_ready(total_loss)
+                    # One fused D2H fetch (host round-trips are expensive on
+                    # the tunneled runtime; fetch a single stacked array).
+                    stats = jax.device_get(
+                        jnp.concatenate([jnp.reshape(total_loss, (1,)), total_split])
+                    )
                     ms_per_batch = (time.time() - t0) * 1000 / tc.log_every
-                    cur = float(total_loss) / tc.log_every
-                    split = [float(v) / tc.log_every for v in total_split]
+                    cur = float(stats[0]) / tc.log_every
+                    split = [float(v) / tc.log_every for v in stats[1:]]
                     dbg = "| Loss pred_len " + "".join(
                         f" {i}: {v:5.2f}" for i, v in enumerate(split)
                     )
