@@ -1,0 +1,59 @@
+"""Profiling helpers: traces, step timing, throughput.
+
+Reference equivalents: CUDA-event latency harness
+(``TimingAnalysis/TrainInformer.py:97-147``), per-step ``ms/batch`` logging,
+``torchviz``/ONNX graph export. TPU-native: ``jax.profiler`` traces (viewable
+in TensorBoard/XProf), ``block_until_ready`` walls, and samples/s/chip.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler trace of the enclosed block."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn: Callable, *args, warmup: int = 20, reps: int = 100):
+    """Mean/std wall ms of ``fn(*args)`` with device sync (the reference's
+    CUDA-event harness semantics)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.mean(times)), float(np.std(times))
+
+
+def throughput(fn: Callable, *args, batch: int, warmup: int = 5, reps: int = 50):
+    """samples/s/chip for a batched step fn."""
+    mean_ms, _ = time_fn(fn, *args, warmup=warmup, reps=reps)
+    per_chip = batch / (mean_ms / 1000)
+    return per_chip / max(jax.device_count(), 1)
+
+
+def device_memory_stats() -> Optional[dict]:
+    """Live/peak HBM bytes when the backend exposes them."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return {
+            "bytes_in_use": stats.get("bytes_in_use"),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit"),
+        }
+    except Exception:
+        return None
