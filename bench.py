@@ -23,7 +23,7 @@ def main():
     from channelestimationtransformer_tpu.models import build_informer
     from channelestimationtransformer_tpu.train.trainer import (
         create_train_state,
-        train_step,
+        train_chunk,
     )
 
     cfg = InformerConfig()  # reference FullPrecision effective config
@@ -45,15 +45,17 @@ def main():
 
     # Warmup / compile.
     key = jax.random.key(1)
-    state, m = train_step(state, h, key, **kwargs)
-    jax.block_until_ready(m["loss"])
-
     steps = 50
+    state, m = train_chunk(state, h, key, num_steps=steps, **kwargs)
+    jax.block_until_ready(m["loss_sum"])
+
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = train_step(state, h, jax.random.fold_in(key, i), **kwargs)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    for i in range(4):
+        state, m = train_chunk(
+            state, h, jax.random.fold_in(key, i), num_steps=steps, **kwargs
+        )
+    jax.block_until_ready(m["loss_sum"])
+    dt = (time.perf_counter() - t0) / 4
 
     samples_per_s = steps * tc.batch_size / dt
     baseline = 3370.0  # A100 80GB, reference FullPrecision/Figures/SNR.txt

@@ -125,6 +125,45 @@ train_step = partial(jax.jit, static_argnames=(
 ), donate_argnums=(0,))(train_step_impl)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "batch_size", "label_len", "seq_len", "pred_len", "snr_db"
+    ),
+    donate_argnums=(0,),
+)
+def train_chunk(
+    state: TrainState,
+    dataset_h: jnp.ndarray,
+    chunk_rng: jax.Array,
+    *,
+    num_steps: int,
+    batch_size: int,
+    label_len: int,
+    seq_len: int = 0,
+    pred_len: int = 0,
+    snr_db: float = 0.0,
+):
+    """``num_steps`` train steps as one ``lax.scan`` program.
+
+    Removes all per-step host dispatch (each eager op is a tunnel round-trip
+    on the axon runtime); metrics come back stacked, one fetch per chunk.
+    """
+
+    def body(carry, i):
+        carry, metrics = train_step_impl(
+            carry, dataset_h, jax.random.fold_in(chunk_rng, i),
+            batch_size=batch_size, label_len=label_len,
+            seq_len=seq_len, pred_len=pred_len, snr_db=snr_db,
+        )
+        return carry, (metrics["loss"], metrics["loss_split"])
+
+    state, (losses, splits) = jax.lax.scan(
+        body, state, jnp.arange(num_steps)
+    )
+    return state, {"loss_sum": jnp.sum(losses), "split_sum": jnp.sum(splits, axis=0)}
+
+
 @partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len", "snr_db"))
 def eval_step(
     state: TrainState,
@@ -165,6 +204,8 @@ class Trainer:
     val_data: WindowDataset
     mesh: Any = None
     log: Callable[[str], None] = lambda msg: print(msg, flush=True)
+    metrics_writer: Any = None  # utils.tensorboard.MetricsWriter or None
+    checkpoint_tag: str = "tmodel_"
 
     def __post_init__(self):
         rng = jax.random.key(self.train_cfg.seed)
@@ -211,44 +252,41 @@ class Trainer:
         root = jax.random.key(tc.seed + 1)
         history = []
 
+        chunk = tc.log_every
         for epoch in range(num_epochs):
             epoch_rng = jax.random.fold_in(root, epoch)
             epoch_start = time.time()
-            t0 = time.time()
             total_loss = 0.0
-            total_split = jnp.zeros(self.cfg.pred_len)
 
-            for batch_idx in range(steps):
-                self.state, metrics = train_step(
+            batch_idx = 0
+            while batch_idx < steps:
+                n = min(chunk, steps - batch_idx)
+                t0 = time.time()
+                self.state, m = train_chunk(
                     self.state,
                     self._train_h,
                     jax.random.fold_in(epoch_rng, batch_idx),
+                    num_steps=n,
                     **self._step_kwargs(self.train_data),
                 )
-                total_loss += metrics["loss"]
-                total_split = total_split + metrics["loss_split"]
-
-                if batch_idx % tc.log_every == 0 and batch_idx > 0:
-                    # One fused D2H fetch (host round-trips are expensive on
-                    # the tunneled runtime; fetch a single stacked array).
-                    stats = jax.device_get(
-                        jnp.concatenate([jnp.reshape(total_loss, (1,)), total_split])
-                    )
-                    ms_per_batch = (time.time() - t0) * 1000 / tc.log_every
-                    cur = float(stats[0]) / tc.log_every
-                    split = [float(v) / tc.log_every for v in stats[1:]]
-                    dbg = "| Loss pred_len " + "".join(
-                        f" {i}: {v:5.2f}" for i, v in enumerate(split)
-                    )
-                    lr = tc.lr  # cosine schedule; exact value logged for parity
+                batch_idx += n
+                stats = jax.device_get(
+                    jnp.concatenate([jnp.reshape(m["loss_sum"], (1,)), m["split_sum"]])
+                )
+                total_loss = float(stats[0])
+                ms_per_batch = (time.time() - t0) * 1000 / n
+                cur = float(stats[0]) / n
+                split = [float(v) / n for v in stats[1:]]
+                dbg = "| Loss pred_len " + "".join(
+                    f" {i}: {v:5.2f}" for i, v in enumerate(split)
+                )
+                lr = tc.lr  # cosine schedule; exact value logged for parity
+                if batch_idx < steps or steps <= chunk:
                     self.log(
                         f"| epoch {epoch:3d} | {batch_idx:5d}/{steps:5d} batches | "
                         f"lr {lr:e} | ms/batch {ms_per_batch:5.2f} | "
                         f"loss {cur:5.4f}  " + dbg
                     )
-                    total_loss = 0.0
-                    total_split = jnp.zeros(self.cfg.pred_len)
-                    t0 = time.time()
 
             val = self.run_validation(jax.random.fold_in(epoch_rng, 1 << 20))
             val_loss = jax.device_get(val["split"])
@@ -262,7 +300,20 @@ class Trainer:
                 f"valid loss {float(val_loss.sum() / len(val_loss))} {dbg}"
             )
             self.log("-" * 89)
-            history.append(
-                {"split": val_loss, "nmse": float(jax.device_get(val["nmse"]))}
-            )
+            val_nmse = float(jax.device_get(val["nmse"]))
+            history.append({"split": val_loss, "nmse": val_nmse})
+            if self.metrics_writer is not None:
+                # Reference scalar set (Loss/train, Loss/val, Loss/val1..5).
+                self.metrics_writer.log_epoch(
+                    epoch, float(jax.device_get(total_loss)), val_nmse, val_loss
+                )
+            if (
+                tc.checkpoint_every_epochs
+                and (epoch + 1) % tc.checkpoint_every_epochs == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    self.state, tc.checkpoint_dir, self.checkpoint_tag, epoch + 1
+                )
         return history

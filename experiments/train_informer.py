@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="weights")
     p.add_argument("--tag", type=str, default="")
+    p.add_argument("--preload", type=str, default=None,
+                   help="checkpoint path, or 'latest' (reference preload modes,"
+                        " FullPrecision/QuantizationAwareTraining.py:189-202)")
     return p.parse_args()
 
 
@@ -112,6 +115,21 @@ def main():
         model=build_informer(cfg), cfg=cfg, train_cfg=tc,
         train_data=train_ds, val_data=val_ds,
     )
+    if args.preload:
+        from channelestimationtransformer_tpu.train.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        path = (
+            latest_checkpoint(args.out, "tmodel_")
+            if args.preload == "latest" else args.preload
+        )
+        if path:
+            trainer.state, pre_epoch, _ = load_checkpoint(path, trainer.state)
+            print(f"Preloading model {path} (epoch {pre_epoch})", flush=True)
+        else:
+            print("No checkpoint found to preload", flush=True)
     history = trainer.fit()
 
     os.makedirs(args.out, exist_ok=True)
