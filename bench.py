@@ -11,6 +11,9 @@ import json
 import time
 
 import jax
+
+from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
+_rt_setup()
 import jax.numpy as jnp
 import numpy as np
 

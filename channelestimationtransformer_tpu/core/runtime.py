@@ -1,0 +1,23 @@
+"""Runtime setup shared by all experiment drivers."""
+
+from __future__ import annotations
+
+import os
+
+
+def setup(cache_dir: str | None = None) -> None:
+    """Enable the persistent compilation cache (compiles through the TPU
+    tunnel cost minutes; caching makes re-runs and sweeps start instantly)
+    and other runtime defaults. Safe no-op if the backend can't serialize."""
+    import jax
+
+    try:
+        cache = cache_dir or os.environ.get(
+            "CET_JAX_CACHE", os.path.join(os.path.dirname(__file__), "../../.jax_cache")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

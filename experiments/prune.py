@@ -19,6 +19,9 @@ from functools import partial
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
+_rt_setup()
 import numpy as np
 
 from channelestimationtransformer_tpu.channel.cdl import CDLModel
