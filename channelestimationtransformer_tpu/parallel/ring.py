@@ -72,11 +72,15 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale, causal: bool):
 
     b, _, h, e = q.shape
     d = v.shape[-1]
+    # pvary: the accumulators become device-varying over the ring axis (the
+    # scan body mixes in axis_index-dependent values), so the carry must start
+    # with matching varying-axis types.
+    vary = lambda x: jax.lax.pvary(x, axis_name)
     init = (
         k, v,
-        jnp.zeros((b, l_loc, h, d), q.dtype),
-        jnp.full((b, l_loc, h), NEG_INF, q.dtype),
-        jnp.zeros((b, l_loc, h), q.dtype),
+        vary(jnp.zeros((b, l_loc, h, d), q.dtype)),
+        vary(jnp.full((b, l_loc, h), NEG_INF, q.dtype)),
+        vary(jnp.zeros((b, l_loc, h), q.dtype)),
     )
     (k_f, v_f, num, m, denom), _ = jax.lax.scan(
         step, init, jnp.arange(p)
