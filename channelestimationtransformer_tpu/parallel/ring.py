@@ -75,7 +75,7 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale, causal: bool):
     # pvary: the accumulators become device-varying over the ring axis (the
     # scan body mixes in axis_index-dependent values), so the carry must start
     # with matching varying-axis types.
-    vary = lambda x: jax.lax.pvary(x, axis_name)
+    vary = lambda x: jax.lax.pcast(x, axis_name, to="varying")
     init = (
         k, v,
         vary(jnp.zeros((b, l_loc, h, d), q.dtype)),
