@@ -245,7 +245,10 @@ class Trainer:
             scalar = scalar + m["nmse"]
         return {"split": split / num_batches, "nmse": scalar / num_batches}
 
-    def fit(self, num_epochs: Optional[int] = None):
+    def fit(self, num_epochs: Optional[int] = None, start_epoch: int = 0):
+        """Train; ``start_epoch`` resumes mid-schedule (per-epoch RNG streams
+        are keyed by absolute epoch, so a resumed run replays the identical
+        data/noise sequence — step-exact recovery, SURVEY §5.3)."""
         tc = self.train_cfg
         num_epochs = num_epochs if num_epochs is not None else tc.num_epochs
         steps = tc.steps_per_epoch
@@ -253,7 +256,7 @@ class Trainer:
         history = []
 
         chunk = tc.log_every
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             epoch_rng = jax.random.fold_in(root, epoch)
             epoch_start = time.time()
             total_loss = 0.0

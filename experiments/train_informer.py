@@ -61,6 +61,8 @@ def parse_args():
     p.add_argument("--preload", type=str, default=None,
                    help="checkpoint path, or 'latest' (reference preload modes,"
                         " FullPrecision/QuantizationAwareTraining.py:189-202)")
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from the newest checkpoint (step-exact)")
     return p.parse_args()
 
 
@@ -118,22 +120,26 @@ def main():
         model=build_informer(cfg), cfg=cfg, train_cfg=tc,
         train_data=train_ds, val_data=val_ds,
     )
-    if args.preload:
+    start_epoch = 0
+    if args.preload or args.resume:
         from channelestimationtransformer_tpu.train.checkpoint import (
             latest_checkpoint,
             load_checkpoint,
         )
 
         path = (
-            latest_checkpoint(args.out, "tmodel_")
-            if args.preload == "latest" else args.preload
+            latest_checkpoint(args.out, f"tmodel_{name}_")
+            if (args.resume or args.preload == "latest") else args.preload
         )
         if path:
             trainer.state, pre_epoch, _ = load_checkpoint(path, trainer.state)
             print(f"Preloading model {path} (epoch {pre_epoch})", flush=True)
+            if args.resume and pre_epoch:
+                start_epoch = int(pre_epoch)
         else:
             print("No checkpoint found to preload", flush=True)
-    history = trainer.fit()
+    trainer.checkpoint_tag = f"tmodel_{name}_"
+    history = trainer.fit(start_epoch=start_epoch)
 
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(trainer.state, args.out, f"tmodel_{name}_", args.epochs)
