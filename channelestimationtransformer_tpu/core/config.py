@@ -128,6 +128,7 @@ class TrainConfig:
     lr_min: float = 0.0
     seed: int = 0
     steps_per_epoch: int = 226  # reference: 226 batches/epoch at batch 256
+    warmup_steps: int = 1000  # linear LR warmup (0 = reference plain cosine)
     checkpoint_every_epochs: int = 100
     log_every: int = 22  # ~len/10 per the reference logging cadence
     checkpoint_dir: str = "weights"

@@ -54,11 +54,25 @@ def create_train_state(
     x_dec = jnp.zeros((2, cfg.dec_len, cfg.dec_in))
     variables = model.init(rng, x_enc, x_dec)
     if tx is None:
-        schedule = optax.cosine_decay_schedule(
-            init_value=train_cfg.lr,
-            decay_steps=max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch,
-            alpha=train_cfg.lr_min / train_cfg.lr if train_cfg.lr else 0.0,
-        )
+        total = max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch
+        warmup = min(train_cfg.warmup_steps, max(total // 10, 1))
+        if warmup > 0:
+            # Linear warmup stabilizes the post-norm transformer at the
+            # reference's 1e-3 peak (the reference sidesteps this by always
+            # preloading a pretrained model).
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=train_cfg.lr * 1e-2,
+                peak_value=train_cfg.lr,
+                warmup_steps=warmup,
+                decay_steps=total,
+                end_value=train_cfg.lr_min,
+            )
+        else:
+            schedule = optax.cosine_decay_schedule(
+                init_value=train_cfg.lr,
+                decay_steps=total,
+                alpha=train_cfg.lr_min / train_cfg.lr if train_cfg.lr else 0.0,
+            )
         tx = optax.adam(schedule)
     return TrainState.create(
         apply_fn=model.apply,
