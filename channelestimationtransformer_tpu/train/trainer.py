@@ -135,15 +135,13 @@ def train_step_impl(
 
 
 train_step = partial(jax.jit, static_argnames=(
-    "batch_size", "label_len", "seq_len", "pred_len", "snr_db"
+    "batch_size", "label_len", "seq_len", "pred_len"
 ), donate_argnums=(0,))(train_step_impl)
 
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "num_steps", "batch_size", "label_len", "seq_len", "pred_len", "snr_db"
-    ),
+    static_argnames=("num_steps", "batch_size", "label_len", "seq_len", "pred_len"),
     donate_argnums=(0,),
 )
 def train_chunk(
@@ -178,7 +176,7 @@ def train_chunk(
     return state, {"loss_sum": jnp.sum(losses), "split_sum": jnp.sum(splits, axis=0)}
 
 
-@partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len", "snr_db"))
+@partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len"))
 def eval_step(
     state: TrainState,
     dataset_h: jnp.ndarray,
