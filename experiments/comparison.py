@@ -78,7 +78,7 @@ def train_recurrent(cell, train_ds, val_ds, cfg, steps, lr=1e-3, seed=0):
     return model, params
 
 
-@partial(jax.jit, static_argnames=("model", "pred_len", "batch"))
+@partial(jax.jit, static_argnames=("model", "pred_len", "batch", "seq_len"))
 def eval_recurrent(params, model, ds_h, rng, pred_len, batch, seq_len, snr_db):
     from channelestimationtransformer_tpu.data.windows import WindowDataset
 
