@@ -46,6 +46,7 @@ def parse_args():
     p.add_argument("--d-layers", type=int, default=3)
     p.add_argument("--d-ff", type=int, default=64)
     p.add_argument("--dropout", type=float, default=0.05)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--attn", choices=["full", "prob"], default="full")
     p.add_argument("--no-distil", action="store_true")
     p.add_argument("--epochs", type=int, default=100)
@@ -80,6 +81,7 @@ def main():
         dropout=args.dropout,
         attn=args.attn,
         distil=not args.no_distil,
+        dtype=args.dtype,
     )
     tc = TrainConfig(
         batch_size=args.batch_size,
