@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -102,6 +103,18 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
+    # Reference-format per-rounding loss pickles (loss_list_<rounding>.pkl,
+    # PostTrainingQuantization.py tail).
+    for rounding in ("nearest", "stochastic"):
+        loss_list = [
+            results[k][0] for k in sorted(results)
+            if k.startswith(rounding + "_")
+        ]
+        with open(
+            os.path.join(os.path.dirname(args.out), f"loss_list_{rounding}.pkl"),
+            "wb",
+        ) as f:
+            pickle.dump(loss_list, f)
     print(json.dumps({"sweep": "ptq", "entries": len(results)}))
 
 
