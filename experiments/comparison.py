@@ -62,10 +62,11 @@ def train_recurrent(cell, train_ds, val_ds, cfg, steps, lr=1e-3, seed=0):
         clean, noisy, _, _ = sample_windows(rng, train_ds, 64)
 
         def loss_fn(p):
-            out = model.apply({"params": p}, noisy[:, :-1])
-            # one-step-ahead: out[t] predicts slot t (teacher-forced);
-            # denoising loss on the last 10 slots like the reference.
-            return nmse(out[:, -10:], clean[:, 1:][:, -10:])
+            # Teacher-forced one-step-ahead output aligned with the input
+            # (out[t] estimates slot t from slots <t); denoising loss on the
+            # last 10 slots, reference TrainLSTM semantics.
+            out = model.apply({"params": p}, noisy)
+            return nmse(out[:, -10:], clean[:, -10:])
 
         l, g = jax.value_and_grad(loss_fn)(params)
         upd, opt2 = tx.update(g, opt)
