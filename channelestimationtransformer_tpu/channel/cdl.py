@@ -25,7 +25,6 @@ reference; per-sample normalization matches its ``normalize=True``.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax

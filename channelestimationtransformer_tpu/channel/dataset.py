@@ -11,7 +11,7 @@ stay resident in device HBM or be pickled in the reference's exact format
 from __future__ import annotations
 
 import pickle
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ convs and matmuls onto the MXU without layout shuffles.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

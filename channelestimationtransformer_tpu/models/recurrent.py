@@ -13,8 +13,6 @@ scan whose carry includes the previous output.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -24,7 +24,6 @@ This module is the completed design, TPU-native:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax

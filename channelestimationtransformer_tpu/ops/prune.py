@@ -17,9 +17,6 @@ so it drops into any jitted train loop:
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

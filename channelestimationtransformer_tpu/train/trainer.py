@@ -26,7 +26,6 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from ..core.config import InformerConfig, TrainConfig

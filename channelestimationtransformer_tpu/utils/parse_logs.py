@@ -10,7 +10,7 @@ SLURM logs and this framework's logs.
 from __future__ import annotations
 
 import re
-from typing import Dict, List
+from typing import Dict
 
 MODEL_RE = re.compile(r"^Model_name:\s+(.+)")
 EPOCH_RE = re.compile(

@@ -36,14 +36,11 @@ from channelestimationtransformer_tpu.core.config import (
     TransformerConfig,
 )
 from channelestimationtransformer_tpu.core.metrics import nmse, nmse_split
-from channelestimationtransformer_tpu.data.windows import make_batch, sample_windows
+from channelestimationtransformer_tpu.data.windows import sample_windows
 from channelestimationtransformer_tpu.models import build_informer
 from channelestimationtransformer_tpu.models.recurrent import RecurrentPredictor
 from channelestimationtransformer_tpu.models.transformer import Transformer
-from channelestimationtransformer_tpu.train.trainer import (
-    Trainer,
-    create_train_state,
-)
+from channelestimationtransformer_tpu.train.trainer import Trainer
 
 
 def train_recurrent(cell, train_ds, val_ds, cfg, steps, lr=1e-3, seed=0):

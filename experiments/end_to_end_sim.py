@@ -32,7 +32,7 @@ import numpy as np
 from channelestimationtransformer_tpu.channel.cdl import CDLModel
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
-from channelestimationtransformer_tpu.data.windows import make_batch, sample_windows
+from channelestimationtransformer_tpu.data.windows import make_batch
 from channelestimationtransformer_tpu.models import build_informer
 from channelestimationtransformer_tpu.sim.link import LinkConfig, simulate_ber
 from channelestimationtransformer_tpu.sim.precoding import (

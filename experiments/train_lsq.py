@@ -26,7 +26,6 @@ import jax
 
 from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
-import numpy as np
 
 from channelestimationtransformer_tpu.channel.cdl import CDLModel
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset

@@ -24,13 +24,11 @@ import jax
 
 from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
-import jax.numpy as jnp
 import numpy as np
 
 from channelestimationtransformer_tpu.channel.cdl import CDLModel
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
-from channelestimationtransformer_tpu.core.metrics import nmse
 from channelestimationtransformer_tpu.data.windows import sample_windows
 from channelestimationtransformer_tpu.models import build_informer
 from channelestimationtransformer_tpu.models.streaming import streaming_rollout
