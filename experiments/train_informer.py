@@ -138,6 +138,13 @@ def main():
             print(f"Preloading model {path} (epoch {pre_epoch})", flush=True)
             if args.resume and pre_epoch:
                 start_epoch = int(pre_epoch)
+            else:
+                # Fine-tune: fresh optimizer + schedule step 0 (a restored
+                # opt_state carries the OLD run's schedule count, which would
+                # evaluate the new cosine past its end -> lr 0).
+                trainer.state = trainer.state.replace(
+                    step=0, opt_state=trainer.state.tx.init(trainer.state.params)
+                )
         else:
             print("No checkpoint found to preload", flush=True)
     trainer.checkpoint_tag = f"tmodel_{name}_"
