@@ -62,6 +62,7 @@ def main():
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
     if args.checkpoint:
         state, _, _ = load_checkpoint(args.checkpoint, state)
+        state = state.replace(step=0, opt_state=state.tx.init(state.params))
         print(f"Preloaded {args.checkpoint}", flush=True)
 
     train_ds = make_window_dataset(

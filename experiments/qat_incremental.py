@@ -85,6 +85,9 @@ def main():
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
     if args.checkpoint:
         state, _, _ = load_checkpoint(args.checkpoint, state)
+        # Fresh optimizer/schedule for the new phase (the restored opt_state
+        # carries the pretrain run's schedule step count).
+        state = state.replace(step=0, opt_state=state.tx.init(state.params))
         print(f"Preloaded {args.checkpoint}")
 
     if args.setting == "partial":
