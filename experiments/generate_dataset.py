@@ -38,6 +38,7 @@ def main():
     p.add_argument("--num-bs-ant", type=int, default=64)
     p.add_argument("--num-ut-ant", type=int, default=2)
     p.add_argument("--speed-kmh", type=float, default=30.0)
+    p.add_argument("--slot-symbols", type=int, default=75)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="Datasets")
     p.add_argument("--npz", action="store_true", help="write packed .npz instead of pickle")
@@ -47,6 +48,7 @@ def main():
         num_bs_ant=args.num_bs_ant,
         num_ut_ant=args.num_ut_ant,
         ue_speed_ms=args.speed_kmh / 3.6,
+        sampling_frequency=120e3 / args.slot_symbols,
     )
     h = generate_beamformed_dataset(
         jax.random.key(args.seed), model=model,

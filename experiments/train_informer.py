@@ -56,6 +56,13 @@ def parse_args():
     p.add_argument("--train-samples", type=int, default=8192)
     p.add_argument("--val-samples", type=int, default=2048)
     p.add_argument("--num-slots", type=int, default=100)
+    p.add_argument("--slot-symbols", type=int, default=75,
+                   help="OFDM symbols per sampled slot. 75 = the committed "
+                        "reference generator (1.6 kHz, GenerateChannelsFreq"
+                        "PreMatlab.py:43); 14 = one 5G slot (8.57 kHz), which "
+                        "matches the statistics of the reference repo's stored "
+                        "channel pickle (lag-1 corr 0.88) and likely the "
+                        "original datasets")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="weights")
     p.add_argument("--tag", type=str, default="")
@@ -96,6 +103,7 @@ def main():
         f"_ll_{cfg.label_len}_pl_{cfg.pred_len}_f_{cfg.factor}_dm_{cfg.d_model}"
         f"_nh_{cfg.n_heads}_el_{list(cfg.e_layers)}_dl_{cfg.d_layers}"
         f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
+        + (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else "")
         + (f"_{args.tag}" if args.tag else "")
     )
     print(f"Model_name:  {name}", flush=True)
@@ -104,13 +112,14 @@ def main():
     t0 = time.time()
     key = jax.random.key(args.seed + 100)
     k1, k2 = jax.random.split(key)
+    cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols)
     train_ds = make_window_dataset(
-        k1, model=CDLModel(), num_samples=args.train_samples,
+        k1, model=cdl, num_samples=args.train_samples,
         num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
         snr_db=args.snr,
     )
     val_ds = make_window_dataset(
-        k2, model=CDLModel(), num_samples=args.val_samples,
+        k2, model=cdl, num_samples=args.val_samples,
         num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
         snr_db=args.snr,
     )
