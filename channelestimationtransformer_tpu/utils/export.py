@@ -33,6 +33,19 @@ def export_weights_json(params, path: str) -> None:
         json.dump(data, f)
 
 
+def export_hlo(fn, *example_args, path: str) -> str:
+    """Dump the lowered StableHLO text of ``fn(*example_args)`` — the
+    graph-export analogue of the reference's torchviz/ONNX artifacts
+    (``FullPrecision/VizualizeNetwork.py:9``, ``informer_model.onnx``)."""
+    import jax
+
+    lowered = jax.jit(fn).lower(*example_args)
+    text = lowered.as_text()
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
 def weight_dynamic_range(params) -> Dict[str, Dict[str, float]]:
     """Per-tensor dynamic range report: min / max / mean(|w|) / required
     integer bits (reference ``dynamicRangeMeasurement.py:17-60``)."""
