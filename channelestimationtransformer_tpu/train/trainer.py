@@ -55,6 +55,9 @@ def create_train_state(
     if tx is None:
         total = max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch
         warmup = min(train_cfg.warmup_steps, max(total // 10, 1))
+        if warmup >= total:
+            # optax's warmup-cosine needs decay_steps > warmup_steps.
+            total = warmup + 1
         if warmup > 0:
             # Linear warmup stabilizes the post-norm transformer at the
             # reference's 1e-3 peak (the reference sidesteps this by always
@@ -175,8 +178,7 @@ def train_chunk(
     return state, {"loss_sum": jnp.sum(losses), "split_sum": jnp.sum(splits, axis=0)}
 
 
-@partial(jax.jit, static_argnames=("batch_size", "label_len", "seq_len", "pred_len"))
-def eval_step(
+def eval_step_impl(
     state: TrainState,
     dataset_h: jnp.ndarray,
     step_rng: jax.Array,
@@ -198,6 +200,42 @@ def eval_step(
     )
     pred = _split_output(out)
     return {"split": nmse_split(pred, target), "nmse": nmse(pred, target)}
+
+
+eval_step = partial(jax.jit, static_argnames=(
+    "batch_size", "label_len", "seq_len", "pred_len"
+))(eval_step_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_batches", "batch_size", "label_len", "seq_len", "pred_len"),
+)
+def eval_chunk(
+    state: TrainState,
+    dataset_h: jnp.ndarray,
+    chunk_rng: jax.Array,
+    *,
+    num_batches: int,
+    batch_size: int,
+    label_len: int,
+    seq_len: int = 0,
+    pred_len: int = 0,
+    snr_db: float = 0.0,
+):
+    """All validation batches as one ``lax.scan`` program (one dispatch +
+    one fetch per epoch instead of ``num_batches`` tunnel round-trips)."""
+
+    def body(carry, i):
+        m = eval_step_impl(
+            state, dataset_h, jax.random.fold_in(chunk_rng, i),
+            batch_size=batch_size, label_len=label_len,
+            seq_len=seq_len, pred_len=pred_len, snr_db=snr_db,
+        )
+        return carry, (m["nmse"], m["split"])
+
+    _, (nmses, splits) = jax.lax.scan(body, None, jnp.arange(num_batches))
+    return {"nmse": jnp.mean(nmses), "split": jnp.mean(splits, axis=0)}
 
 
 @dataclasses.dataclass
@@ -243,18 +281,13 @@ class Trainer:
         """Per-horizon split loss (reference ``run_validation`` semantics, incl.
         the prediction-power normalization quirk) plus the target-normalized
         scalar NMSE for quirk-free comparisons."""
-        split = jnp.zeros(self.cfg.pred_len)
-        scalar = 0.0
-        for i in range(num_batches):
-            m = eval_step(
-                self.state,
-                self._val_h,
-                jax.random.fold_in(epoch_rng, i),
-                **self._step_kwargs(self.val_data),
-            )
-            split = split + m["split"]
-            scalar = scalar + m["nmse"]
-        return {"split": split / num_batches, "nmse": scalar / num_batches}
+        return eval_chunk(
+            self.state,
+            self._val_h,
+            epoch_rng,
+            num_batches=num_batches,
+            **self._step_kwargs(self.val_data),
+        )
 
     def fit(self, num_epochs: Optional[int] = None, start_epoch: int = 0):
         """Train; ``start_epoch`` resumes mid-schedule (per-epoch RNG streams
