@@ -40,11 +40,15 @@ class InformerConfig:
     d_layers: int = 3
     d_ff: int = 64
     dropout: float = 0.05
-    attn: str = "full"  # "full" | "prob"
+    attn: str = "full"  # "full" | "prob" | "ring" (sequence-parallel exact)
     activation: str = "gelu"  # "gelu" | "relu"
     distil: bool = True
     mix: bool = True  # transpose heads<->seq on decoder self-attn output
     output_attention: bool = False
+    # Pre-LayerNorm residual blocks (GPT-2/T5 style). The reference is
+    # post-norm (models/Informer/encoder.py:50-55); pre-norm trains stably at
+    # high LR without warmup and is the recommended from-scratch setting.
+    pre_norm: bool = False
     dtype: str = "float32"  # computation dtype for activations
     # LSQ weight quantization of attention/FFN projections (reference
     # models/InformerLSQ + models/InformerLSQFibbinary): None = FP32.
@@ -52,8 +56,14 @@ class InformerConfig:
     lsq_fibbinary: bool = False
 
     def __post_init__(self):
-        if self.attn not in ("full", "prob"):
-            raise ValueError(f"attn must be 'full' or 'prob', got {self.attn!r}")
+        if self.attn not in ("full", "prob", "ring"):
+            raise ValueError(
+                f"attn must be 'full', 'prob' or 'ring', got {self.attn!r}")
+        if self.attn == "ring" and self.distil:
+            raise ValueError(
+                "attn='ring' shards the encoder sequence axis; the distilling "
+                "conv pyramid produces shard-indivisible lengths — use "
+                "distil=False for sequence-parallel configs")
         if self.activation not in ("gelu", "relu"):
             raise ValueError(f"activation must be 'gelu' or 'relu', got {self.activation!r}")
 
@@ -126,6 +136,7 @@ class TrainConfig:
     num_epochs: int = 100
     lr: float = 1e-4
     lr_min: float = 0.0
+    weight_decay: float = 0.0  # >0 switches Adam -> AdamW (decoupled decay)
     seed: int = 0
     steps_per_epoch: int = 226  # reference: 226 batches/epoch at batch 256
     warmup_steps: int = 1000  # linear LR warmup (0 = reference plain cosine)

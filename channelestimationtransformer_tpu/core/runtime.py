@@ -11,6 +11,16 @@ def setup(cache_dir: str | None = None) -> None:
     and other runtime defaults. Safe no-op if the backend can't serialize."""
     import jax
 
+    # The axon TPU plugin pins itself regardless of JAX_PLATFORMS; apply the
+    # env request through jax.config, which does take effect. Lets any driver
+    # be forced onto CPU (JAX_PLATFORMS=cpu) without touching the TPU tunnel.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     try:
         cache = cache_dir or os.environ.get(
             "CET_JAX_CACHE", os.path.join(os.path.dirname(__file__), "../../.jax_cache")

@@ -18,7 +18,7 @@ Reference: ``models/Informer/attn.py``. TPU-first redesign notes:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -146,13 +146,17 @@ class AttentionLayer(nn.Module):
 
     d_model: int
     n_heads: int
-    attn: str = "full"  # "full" | "prob"
+    attn: str = "full"  # "full" | "prob" | "ring"
     mask_flag: bool = False
     factor: int = 5
     dropout: float = 0.0
     mix: bool = False
     output_attention: bool = False
     use_pallas: bool = False
+    # Sequence-parallel ring attention (attn="ring"): mesh with a ``seq_axis``
+    # axis; Q stays local, K/V shards rotate via ppermute (parallel/ring.py).
+    mesh: Any = None
+    seq_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None  # LSQ-quantize q/k/v/out kernels
     lsq_fibbinary: bool = False
@@ -179,7 +183,18 @@ class AttentionLayer(nn.Module):
         k = dense("key")(keys).reshape(b, s, h, d_head)
         v = dense("value")(values).reshape(b, s, h, d_head)
 
-        if self.attn == "prob":
+        if self.attn == "ring":
+            if self.mesh is None:
+                raise ValueError("attn='ring' requires a mesh with a "
+                                 f"'{self.seq_axis}' axis")
+            from ..parallel.ring import ring_attention
+
+            out = ring_attention(
+                q, k, v, self.mesh,
+                axis_name=self.seq_axis, causal=self.mask_flag,
+            )
+            attn = None
+        elif self.attn == "prob":
             sample_rng = (
                 self.make_rng("sample")
                 if self.has_rng("sample")

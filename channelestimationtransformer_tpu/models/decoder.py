@@ -28,16 +28,21 @@ class DecoderLayer(nn.Module):
     factor: int = 5
     mix: bool = True
     use_pallas: bool = False
+    pre_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
     lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x, cross, *, deterministic: bool = True):
+        s_in = nn.LayerNorm(dtype=self.dtype, name="norm1")(x) if self.pre_norm else x
+        # Decoder sequences are label_len+pred_len (~15 slots) and stay
+        # replicated; "ring" only applies to the encoder's long axis.
+        self_attn = "full" if self.attn == "ring" else self.attn
         self_out, _ = AttentionLayer(
             d_model=self.d_model,
             n_heads=self.n_heads,
-            attn=self.attn,
+            attn=self_attn,
             mask_flag=True,
             factor=self.factor,
             dropout=self.dropout,
@@ -47,9 +52,11 @@ class DecoderLayer(nn.Module):
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
             name="self_attention",
-        )(x, x, x, deterministic=deterministic)
+        )(s_in, s_in, s_in, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(self_out)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if not self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        c_in = nn.LayerNorm(dtype=self.dtype, name="norm2")(x) if self.pre_norm else x
 
         cross_out, _ = AttentionLayer(
             d_model=self.d_model,
@@ -64,8 +71,16 @@ class DecoderLayer(nn.Module):
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
             name="cross_attention",
-        )(x, cross, cross, deterministic=deterministic)
+        )(c_in, cross, cross, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(cross_out)
+        if self.pre_norm:
+            y = FeedForward(
+                self.d_model, self.d_ff, self.dropout, self.activation,
+                dtype=self.dtype, lsq_nbits=self.lsq_nbits,
+                lsq_fibbinary=self.lsq_fibbinary, name="ffn",
+            )(nn.LayerNorm(dtype=self.dtype, name="norm3")(x),
+              deterministic=deterministic)
+            return x + y
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
 
         y = FeedForward(
@@ -89,6 +104,7 @@ class Decoder(nn.Module):
     factor: int = 5
     mix: bool = True
     use_pallas: bool = False
+    pre_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
     lsq_fibbinary: bool = False
@@ -106,6 +122,7 @@ class Decoder(nn.Module):
                 factor=self.factor,
                 mix=self.mix,
                 use_pallas=self.use_pallas,
+                pre_norm=self.pre_norm,
                 dtype=self.dtype,
                 lsq_nbits=self.lsq_nbits,
                 lsq_fibbinary=self.lsq_fibbinary,

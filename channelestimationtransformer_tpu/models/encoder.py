@@ -11,7 +11,7 @@ convs and matmuls onto the MXU without layout shuffles.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -100,12 +100,16 @@ class EncoderLayer(nn.Module):
     factor: int = 5
     output_attention: bool = False
     use_pallas: bool = False
+    pre_norm: bool = False
+    mesh: Any = None  # required for attn="ring" (sequence-parallel)
+    seq_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
     lsq_fibbinary: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
+        a_in = nn.LayerNorm(dtype=self.dtype, name="norm1")(x) if self.pre_norm else x
         new_x, attn = AttentionLayer(
             d_model=self.d_model,
             n_heads=self.n_heads,
@@ -116,12 +120,22 @@ class EncoderLayer(nn.Module):
             mix=False,
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
+            mesh=self.mesh,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
             name="attention",
-        )(x, x, x, deterministic=deterministic)
+        )(a_in, a_in, a_in, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(new_x)
+        if self.pre_norm:
+            y = FeedForward(
+                self.d_model, self.d_ff, self.dropout, self.activation,
+                dtype=self.dtype, lsq_nbits=self.lsq_nbits,
+                lsq_fibbinary=self.lsq_fibbinary, name="ffn",
+            )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x),
+              deterministic=deterministic)
+            return x + y, attn
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = FeedForward(
             self.d_model, self.d_ff, self.dropout, self.activation,
@@ -147,6 +161,9 @@ class Encoder(nn.Module):
     distil: bool = True
     output_attention: bool = False
     use_pallas: bool = False
+    pre_norm: bool = False
+    mesh: Any = None  # required for attn="ring" (sequence-parallel)
+    seq_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
     lsq_fibbinary: bool = False
@@ -164,6 +181,9 @@ class Encoder(nn.Module):
             factor=self.factor,
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
+            pre_norm=self.pre_norm,
+            mesh=self.mesh,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
@@ -207,6 +227,9 @@ class EncoderStack(nn.Module):
     distil: bool = True
     output_attention: bool = False
     use_pallas: bool = False
+    pre_norm: bool = False
+    mesh: Any = None  # required for attn="ring" (sequence-parallel)
+    seq_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
     lsq_fibbinary: bool = False
@@ -229,6 +252,9 @@ class EncoderStack(nn.Module):
                 distil=self.distil,
                 output_attention=self.output_attention,
                 use_pallas=self.use_pallas,
+                pre_norm=self.pre_norm,
+                mesh=self.mesh,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 lsq_nbits=self.lsq_nbits,
                 lsq_fibbinary=self.lsq_fibbinary,

@@ -12,6 +12,8 @@ Forward contract: ``model(enc_in [B,seq_len,F], dec_in [B,label_len+pred_len,F])
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -26,6 +28,8 @@ class InformerBase(nn.Module):
     by the concrete subclasses below."""
 
     config: InformerConfig
+    mesh: Any = None  # for attn="ring" sequence-parallel encoders
+    seq_axis: str = "seq"
 
     def _encoder(self):
         raise NotImplementedError
@@ -53,6 +57,7 @@ class InformerBase(nn.Module):
             attn=cfg.attn,
             factor=cfg.factor,
             mix=cfg.mix,
+            pre_norm=cfg.pre_norm,
             dtype=dtype,
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
@@ -83,6 +88,9 @@ class Informer(InformerBase):
             factor=cfg.factor,
             distil=cfg.distil,
             output_attention=cfg.output_attention,
+            pre_norm=cfg.pre_norm,
+            mesh=self.mesh,
+            seq_axis=self.seq_axis,
             dtype=jnp.dtype(cfg.dtype),
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
@@ -107,6 +115,9 @@ class InformerStack(InformerBase):
             factor=cfg.factor,
             distil=cfg.distil,
             output_attention=cfg.output_attention,
+            pre_norm=cfg.pre_norm,
+            mesh=self.mesh,
+            seq_axis=self.seq_axis,
             dtype=jnp.dtype(cfg.dtype),
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
@@ -114,9 +125,13 @@ class InformerStack(InformerBase):
         )
 
 
-def build_informer(config: InformerConfig) -> InformerBase:
+def build_informer(config: InformerConfig, *, mesh=None, seq_axis="seq") -> InformerBase:
     """Factory: stacked encoder when ``e_layers`` has >1 entry, like the
-    reference experiment drivers always instantiating ``InformerStack``."""
+    reference experiment drivers always instantiating ``InformerStack``.
+
+    ``mesh``/``seq_axis``: device mesh for ``attn="ring"`` sequence-parallel
+    encoders (the encoder sequence axis is sharded; parallel/ring.py).
+    """
     if isinstance(config.e_layers, int) or len(config.e_layers) == 1:
-        return Informer(config=config)
-    return InformerStack(config=config)
+        return Informer(config=config, mesh=mesh, seq_axis=seq_axis)
+    return InformerStack(config=config, mesh=mesh, seq_axis=seq_axis)

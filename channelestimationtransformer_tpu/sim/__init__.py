@@ -1,7 +1,14 @@
 from .qam import qam_constellation, qam_demap_hard, qam_llr, qam_map
 from .precoding import spectral_efficiency, zf_precoder
 from .estimation import lmmse_equalize, ls_estimate
-from .link import LinkConfig, simulate_ber
+from .link import LinkConfig, simulate_ber, simulate_coded_ber
+from .coding import conv_encode, viterbi_decode
+from .ofdm import (
+    apply_time_channel,
+    ofdm_demodulate,
+    ofdm_modulate,
+    taps_to_frequency_response,
+)
 
 __all__ = [
     "qam_constellation",
@@ -14,4 +21,11 @@ __all__ = [
     "ls_estimate",
     "LinkConfig",
     "simulate_ber",
+    "simulate_coded_ber",
+    "conv_encode",
+    "viterbi_decode",
+    "apply_time_channel",
+    "ofdm_demodulate",
+    "ofdm_modulate",
+    "taps_to_frequency_response",
 ]

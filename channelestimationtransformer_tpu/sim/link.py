@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .estimation import lmmse_equalize
-from .precoding import zf_precoder
+from .precoding import _as_complex, zf_precoder
 from .qam import qam_demap_hard, qam_map
 
 
@@ -58,6 +58,8 @@ def simulate_ber(
     """
     import numpy as np
 
+    h_true = _as_complex(h_true)
+    h_precode = _as_complex(h_precode)
     b = h_true.shape[0]
     bps = int(np.log2(cfg.qam_order))
     n_bits = cfg.n_streams * num_symbols * bps
@@ -95,3 +97,65 @@ def simulate_ber(
     bits_hat = qam_demap_hard(x_hat, cfg.qam_order).reshape(b, n_bits)
     errors = jnp.sum(jnp.abs(bits_hat - bits))
     return errors / (b * n_bits), b * n_bits
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_symbols"))
+def simulate_coded_ber(
+    key: jax.Array,
+    h_true: jnp.ndarray,
+    h_precode: jnp.ndarray,
+    ebno_db,
+    cfg: LinkConfig = LinkConfig(),
+    num_symbols: int = 64,
+):
+    """Coded BER/BLER: conv-FEC (K=7 r=1/2) + soft LLRs + Viterbi.
+
+    The reference's coded link uses Sionna's 5G LDPC
+    (``MimoSimulation/KerasFullSimulation.py:139-151``); the in-framework FEC
+    here is the convolutional code in :mod:`.coding` (documented delta, SURVEY
+    §7.2 step 10). One codeword spans all streams/symbols of a channel
+    realization, so BLER is per channel realization ("block" = one
+    realization's payload, like the reference's per-codeword blocks).
+
+    Returns (ber, bler, info_bits_total).
+    """
+    import numpy as np
+
+    from .coding import K, conv_encode, viterbi_decode
+    from .qam import qam_llr
+
+    h_true = _as_complex(h_true)
+    h_precode = _as_complex(h_precode)
+    b = h_true.shape[0]
+    bps = int(np.log2(cfg.qam_order))
+    n_coded = cfg.n_streams * num_symbols * bps
+    n_info = n_coded // 2 - (K - 1)  # rate-1/2 + zero tail fills the frame
+
+    k_bits, k_noise = jax.random.split(key)
+    info = jax.random.bernoulli(k_bits, 0.5, (b, n_info)).astype(jnp.int32)
+    coded = conv_encode(info).astype(jnp.float32)  # [B, n_coded]
+
+    syms = qam_map(coded, cfg.qam_order).reshape(b, cfg.n_streams, num_symbols)
+    p = zf_precoder(h_precode)
+    x = jnp.einsum("bts,bsn->btn", p, syms)
+    y = jnp.einsum("brt,btn->brn", h_true, x)
+    # Es/N0 accounts for the code rate: Eb refers to *information* bits.
+    esno = 10.0 ** (jnp.asarray(ebno_db) / 10.0) * bps * 0.5
+    noise_var = 1.0 / esno
+    kr, ki = jax.random.split(k_noise)
+    noise = jnp.sqrt(noise_var / 2) * (
+        jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
+    )
+    y = y + noise
+
+    h_eff = h_true @ p
+    y_t = jnp.swapaxes(y, 1, 2)
+    x_hat = jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))(y_t, h_eff)
+    x_hat = jnp.swapaxes(x_hat, 1, 2).reshape(b, cfg.n_streams * num_symbols)
+
+    llr = qam_llr(x_hat[..., None], cfg.qam_order, noise_var).reshape(b, n_coded)
+    decoded = viterbi_decode(llr, num_bits=n_info)
+    bit_errs = jnp.sum(decoded != info, axis=-1)
+    ber = jnp.sum(bit_errs) / (b * n_info)
+    bler = jnp.mean((bit_errs > 0).astype(jnp.float32))
+    return ber, bler, b * n_info

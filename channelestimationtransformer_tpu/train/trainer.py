@@ -75,7 +75,10 @@ def create_train_state(
                 decay_steps=total,
                 alpha=train_cfg.lr_min / train_cfg.lr if train_cfg.lr else 0.0,
             )
-        tx = optax.adam(schedule)
+        if getattr(train_cfg, "weight_decay", 0.0):
+            tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
+        else:
+            tx = optax.adam(schedule)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -34,7 +34,11 @@ from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.data.windows import make_batch
 from channelestimationtransformer_tpu.models import build_informer
-from channelestimationtransformer_tpu.sim.link import LinkConfig, simulate_ber
+from channelestimationtransformer_tpu.sim.link import (
+    LinkConfig,
+    simulate_ber,
+    simulate_coded_ber,
+)
 from channelestimationtransformer_tpu.sim.precoding import (
     precoded_spectral_efficiency,
 )
@@ -43,10 +47,10 @@ from channelestimationtransformer_tpu.train.trainer import create_train_state
 
 
 def features_to_channel(x: jnp.ndarray, nr: int, nt: int) -> jnp.ndarray:
-    """Packed features ``[..., Nr*Nt*2]`` -> complex channel ``[..., Nr, Nt]``
-    (CPU/inside-jit only)."""
-    ri = x.reshape(*x.shape[:-1], nr, nt, 2)
-    return ri[..., 0] + 1j * ri[..., 1]
+    """Packed features ``[..., Nr*Nt*2]`` -> real-pair channel
+    ``[..., Nr, Nt, 2]`` (complex stays inside the jitted sims; the axon TPU
+    runtime rejects complex at executable interfaces)."""
+    return x.reshape(*x.shape[:-1], nr, nt, 2)
 
 
 def main():
@@ -56,6 +60,11 @@ def main():
     p.add_argument("--ebno-db", type=float, nargs="+",
                    default=[-4, -2, 0, 2, 4, 6, 8, 10])
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--slot-symbols", type=int, default=75,
+                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    p.add_argument("--coded", action="store_true",
+                   help="convolutional-coded link (Viterbi); the reference's "
+                        "LDPC-coded Sionna sim analogue (sim/coding.py)")
     p.add_argument("--horizon", type=int, default=4,
                    help="0-based slot of the prediction horizon to evaluate")
     p.add_argument("--out", default="weights/e2e_results.json")
@@ -68,7 +77,7 @@ def main():
     state, _, _ = load_checkpoint(args.checkpoint, state)
 
     ds = make_window_dataset(
-        jax.random.key(77), model=CDLModel(), num_samples=1024, num_slots=100,
+        jax.random.key(77), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=1024, num_slots=100,
         seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
     )
     enc_in, dec_in, target = make_batch(jax.random.key(78), ds, args.batch, cfg.label_len)
@@ -80,25 +89,39 @@ def main():
     h_pred = features_to_channel(pred[:, args.horizon], 2, 4)
     h_outdated = features_to_channel(enc_in[:, -1], 2, 4)
 
-    nmse = float(jnp.sum(jnp.abs(h_true - h_pred) ** 2)
-                 / jnp.sum(jnp.abs(h_true) ** 2))
+    nmse = float(jnp.sum((h_true - h_pred) ** 2) / jnp.sum(h_true ** 2))
     print(f"Prediction NMSE at horizon {args.horizon}: {nmse:.4f} "
           f"({10 * np.log10(nmse):.2f} dB)", flush=True)
 
-    results = {"prediction_nmse": nmse, "ebno_db": args.ebno_db, "ber": {}, "se": {}}
+    results = {"prediction_nmse": nmse, "ebno_db": args.ebno_db, "ber": {},
+               "se": {}, "coded": bool(args.coded)}
+    if args.coded:
+        results["bler"] = {}
     for name, h_pre in [("perfect", h_true), ("outdated", h_outdated),
                         ("predicted", h_pred)]:
-        bers = []
+        bers, blers = [], []
         for ebno in args.ebno_db:
-            ber, _ = simulate_ber(
-                jax.random.key(5), h_true, h_pre, float(ebno),
-                LinkConfig(qam_order=4), 128,
-            )
+            if args.coded:
+                ber, bler, _ = simulate_coded_ber(
+                    jax.random.key(5), h_true, h_pre, float(ebno),
+                    LinkConfig(qam_order=4), 128,
+                )
+                blers.append(float(bler))
+            else:
+                ber, _ = simulate_ber(
+                    jax.random.key(5), h_true, h_pre, float(ebno),
+                    LinkConfig(qam_order=4), 128,
+                )
             bers.append(float(ber))
         se = float(jnp.mean(precoded_spectral_efficiency(h_true, h_pre, 100.0)))
         results["ber"][name] = bers
         results["se"][name] = se
-        print(f"{name}: SE {se:.2f} b/s/Hz, BER {bers}", flush=True)
+        if args.coded:
+            results["bler"][name] = blers
+            print(f"{name}: SE {se:.2f} b/s/Hz, coded BER {bers}, BLER {blers}",
+                  flush=True)
+        else:
+            print(f"{name}: SE {se:.2f} b/s/Hz, BER {bers}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

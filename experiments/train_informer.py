@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--attn", choices=["full", "prob"], default="full")
     p.add_argument("--no-distil", action="store_true")
+    p.add_argument("--pre-norm", action="store_true",
+                   help="pre-LayerNorm residual blocks (from-scratch stability)")
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard event files under runs/<name>")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -88,12 +93,14 @@ def main():
         dropout=args.dropout,
         attn=args.attn,
         distil=not args.no_distil,
+        pre_norm=args.pre_norm,
         dtype=args.dtype,
     )
     tc = TrainConfig(
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         lr=args.lr,
+        weight_decay=args.weight_decay,
         steps_per_epoch=args.steps_per_epoch,
         seed=args.seed,
     )
@@ -104,6 +111,7 @@ def main():
         f"_nh_{cfg.n_heads}_el_{list(cfg.e_layers)}_dl_{cfg.d_layers}"
         f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
         + (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else "")
+        + ("_prenorm" if args.pre_norm else "")
         + (f"_{args.tag}" if args.tag else "")
     )
     print(f"Model_name:  {name}", flush=True)
@@ -127,9 +135,14 @@ def main():
     print(f"Dataset generated in {time.time() - t0:.1f}s "
           f"(train {train_ds.h.shape}, val {val_ds.h.shape})", flush=True)
 
+    writer = None
+    if args.tensorboard:
+        from channelestimationtransformer_tpu.utils.tensorboard import MetricsWriter
+
+        writer = MetricsWriter(os.path.join("runs", name))
     trainer = Trainer(
         model=build_informer(cfg), cfg=cfg, train_cfg=tc,
-        train_data=train_ds, val_data=val_ds,
+        train_data=train_ds, val_data=val_ds, metrics_writer=writer,
     )
     start_epoch = 0
     if args.preload or args.resume:

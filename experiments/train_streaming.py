@@ -42,6 +42,8 @@ def main():
     p.add_argument("--snr", type=float, default=21.0)
     p.add_argument("--block", type=int, default=5)
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--slot-symbols", type=int, default=75,
+                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
     p.add_argument("--out", default="weights/streaming_results.json")
     args = p.parse_args()
 
@@ -54,7 +56,7 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     ds = make_window_dataset(
-        jax.random.key(7), model=CDLModel(), num_samples=1024, num_slots=100,
+        jax.random.key(7), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=1024, num_slots=100,
         seq_len=95, pred_len=args.block, snr_db=args.snr,
     )
     clean, noisy, _, _ = sample_windows(jax.random.key(8), ds, args.batch)

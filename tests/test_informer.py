@@ -1,5 +1,7 @@
 """Shape/behavior tests for the Informer model family."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,3 +84,21 @@ def test_informer_is_jittable_no_recompile():
     out1 = fwd(variables, x_enc, x_dec)
     out2 = fwd(variables, x_enc * 2, x_dec)
     assert out1.shape == out2.shape == (2, 5, 16)
+
+
+def test_pre_norm_variant():
+    """pre_norm=True builds a different (pre-LN) program with the same output
+    contract; params differ in norm placement but shapes/loss path hold."""
+    cfg = InformerConfig(
+        seq_len=32, label_len=8, pred_len=5, d_model=32, n_heads=4,
+        e_layers=(2, 1), d_layers=2, d_ff=16, pre_norm=True,
+    )
+    model, variables, x_enc, x_dec = _make(cfg)
+    out = model.apply(variables, x_enc, x_dec)
+    assert out.shape == (2, 5, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # post-norm variant must produce a different function
+    cfg2 = dataclasses.replace(cfg, pre_norm=False)
+    model2, variables2, _, _ = _make(cfg2)
+    out2 = model2.apply(variables2, x_enc, x_dec)
+    assert out.shape == out2.shape

@@ -66,3 +66,32 @@ def test_ring_attention_matches_dense(causal):
     out = ring_attention(q, k, v, mesh, causal=causal)
     ref, _ = full_attention(q, k, v, mask_flag=causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_ring_informer_matches_full():
+    """attn='ring' (sequence-parallel encoder) is exact attention: with shared
+    params it must reproduce the attn='full' model's output."""
+    import dataclasses
+
+    from channelestimationtransformer_tpu.core.config import InformerConfig
+    from channelestimationtransformer_tpu.models import build_informer
+
+    n = len(jax.devices())
+    mesh = make_mesh(data=1, model=1, seq=n)
+    cfg_full = InformerConfig(
+        seq_len=32, label_len=8, pred_len=5, d_model=32, n_heads=4,
+        e_layers=(2,), d_layers=1, d_ff=16, distil=False, dropout=0.0,
+    )
+    cfg_ring = dataclasses.replace(cfg_full, attn="ring")
+    m_full = build_informer(cfg_full)
+    m_ring = build_informer(cfg_ring, mesh=mesh)
+
+    x_enc = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 16)), jnp.float32)
+    x_dec = jnp.asarray(np.random.default_rng(1).normal(size=(2, 13, 16)), jnp.float32)
+    variables = m_full.init(jax.random.key(0), x_enc, x_dec)
+
+    out_full = m_full.apply(variables, x_enc, x_dec)
+    out_ring = jax.jit(lambda v, a, b: m_ring.apply(v, a, b))(variables, x_enc, x_dec)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_ring), rtol=2e-4, atol=2e-5
+    )
