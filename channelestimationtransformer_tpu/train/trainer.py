@@ -41,6 +41,33 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def make_schedule(train_cfg: TrainConfig):
+    """The LR schedule used by :func:`create_train_state` (reference: cosine
+    annealing, ``FullPrecision/QuantizationAwareTraining.py:179``; optional
+    linear warmup for from-scratch post-norm stability)."""
+    total = max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch
+    warmup = min(train_cfg.warmup_steps, max(total // 10, 1))
+    if warmup >= total:
+        # optax's warmup-cosine needs decay_steps > warmup_steps.
+        total = warmup + 1
+    if warmup > 0:
+        # Linear warmup stabilizes the post-norm transformer at the
+        # reference's 1e-3 peak (the reference sidesteps this by always
+        # preloading a pretrained model).
+        return optax.warmup_cosine_decay_schedule(
+            init_value=train_cfg.lr * 1e-2,
+            peak_value=train_cfg.lr,
+            warmup_steps=warmup,
+            decay_steps=total,
+            end_value=train_cfg.lr_min,
+        )
+    return optax.cosine_decay_schedule(
+        init_value=train_cfg.lr,
+        decay_steps=total,
+        alpha=train_cfg.lr_min / train_cfg.lr if train_cfg.lr else 0.0,
+    )
+
+
 def create_train_state(
     model,
     *,
@@ -53,28 +80,7 @@ def create_train_state(
     x_dec = jnp.zeros((2, cfg.dec_len, cfg.dec_in))
     variables = model.init(rng, x_enc, x_dec)
     if tx is None:
-        total = max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch
-        warmup = min(train_cfg.warmup_steps, max(total // 10, 1))
-        if warmup >= total:
-            # optax's warmup-cosine needs decay_steps > warmup_steps.
-            total = warmup + 1
-        if warmup > 0:
-            # Linear warmup stabilizes the post-norm transformer at the
-            # reference's 1e-3 peak (the reference sidesteps this by always
-            # preloading a pretrained model).
-            schedule = optax.warmup_cosine_decay_schedule(
-                init_value=train_cfg.lr * 1e-2,
-                peak_value=train_cfg.lr,
-                warmup_steps=warmup,
-                decay_steps=total,
-                end_value=train_cfg.lr_min,
-            )
-        else:
-            schedule = optax.cosine_decay_schedule(
-                init_value=train_cfg.lr,
-                decay_steps=total,
-                alpha=train_cfg.lr_min / train_cfg.lr if train_cfg.lr else 0.0,
-            )
+        schedule = make_schedule(train_cfg)
         if getattr(train_cfg, "weight_decay", 0.0):
             tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
         else:
@@ -264,6 +270,7 @@ class Trainer:
         self.state = create_train_state(
             self.model, rng=rng, cfg=self.cfg, train_cfg=self.train_cfg
         )
+        self._schedule = make_schedule(self.train_cfg)
         self._train_h = self.train_data.h
         self._val_h = self.val_data.h
         if self.mesh is not None:
@@ -330,7 +337,9 @@ class Trainer:
                 dbg = "| Loss pred_len " + "".join(
                     f" {i}: {v:5.2f}" for i, v in enumerate(split)
                 )
-                lr = tc.lr  # cosine schedule; exact value logged for parity
+                # Live schedule value, like the reference's scheduler LR log
+                # (parsed downstream by Figures/parse.py-equivalent regexes).
+                lr = float(self._schedule(epoch * steps + batch_idx))
                 if batch_idx < steps or steps <= chunk:
                     self.log(
                         f"| epoch {epoch:3d} | {batch_idx:5d}/{steps:5d} batches | "

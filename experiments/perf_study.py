@@ -1,0 +1,129 @@
+"""On-device performance study: Pallas-vs-XLA attention A/B + bf16 train step.
+
+Closes two ROADMAP items: (1) A/B the Pallas fused attention kernel against
+the XLA einsum path at the flagship shapes and a seq-len sweep; (2) benchmark
+the fused train step in bfloat16 vs float32. Prints one JSON line per
+measurement and a summary dict at the end.
+
+Usage (real TPU; run from the serial queue):
+    python experiments/perf_study.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
+_rt_setup()
+import jax.numpy as jnp
+import numpy as np
+
+from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
+from channelestimationtransformer_tpu.models import build_informer
+from channelestimationtransformer_tpu.models.attention import full_attention
+from channelestimationtransformer_tpu.ops.pallas.attention import mha_attention
+from channelestimationtransformer_tpu.train.trainer import (
+    create_train_state,
+    train_chunk,
+)
+from channelestimationtransformer_tpu.utils.profiling import time_fn
+
+
+def attention_ab(reps: int):
+    results = []
+    rng = np.random.default_rng(0)
+    h, e = 8, 16  # flagship: 8 heads x 16 head-dim (d_model 128)
+    # whole-problem-in-VMEM kernel: cap L so [L, L] f32 scores fit in VMEM
+    for b, l in [(256, 90), (256, 128), (64, 512), (32, 1024)]:
+        q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+
+        xla_fn = jax.jit(lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0])
+        pallas_fn = jax.jit(lambda q, k, v: mha_attention(q, k, v, causal=False))
+
+        # numerics check first
+        ref = xla_fn(q, k, v)
+        got = pallas_fn(q, k, v)
+        err = float(jnp.max(jnp.abs(ref - got)))
+
+        ms_xla, _ = time_fn(xla_fn, q, k, v, warmup=10, reps=reps)
+        ms_pal, _ = time_fn(pallas_fn, q, k, v, warmup=10, reps=reps)
+        row = {
+            "bench": "attention_ab", "batch": b, "seq": l,
+            "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
+            "speedup": round(ms_xla / ms_pal, 3), "max_abs_err": err,
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    return results
+
+
+def train_step_dtype_ab(reps: int):
+    results = []
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(2048, 100, 16)), jnp.float32)
+    for dtype in ("float32", "bfloat16"):
+        cfg = InformerConfig(dtype=dtype)
+        tc = TrainConfig()
+        model = build_informer(cfg)
+        state = create_train_state(
+            model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc
+        )
+        kwargs = dict(
+            num_steps=10, batch_size=tc.batch_size, label_len=cfg.label_len,
+            seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=21.0,
+        )
+
+        # train_chunk donates the state, so thread it through a manual
+        # timing loop instead of time_fn's fixed-args replay.
+        import time as _time
+
+        key = jax.random.key(2)
+        for i in range(2):  # warmup/compile
+            state, m = train_chunk(state, h, jax.random.fold_in(key, i), **kwargs)
+        jax.block_until_ready(m["loss_sum"])
+        n_chunks = max(reps // 10, 3)
+        t0 = _time.perf_counter()
+        for i in range(n_chunks):
+            state, m = train_chunk(state, h, jax.random.fold_in(key, 10 + i), **kwargs)
+        jax.block_until_ready(m["loss_sum"])
+        ms = (_time.perf_counter() - t0) * 1000 / n_chunks
+        samples_s = tc.batch_size * 10 / (ms / 1000)
+        row = {
+            "bench": "train_step", "dtype": dtype,
+            "ms_per_batch": round(ms / 10, 4),
+            "samples_per_s": round(samples_s, 1),
+            "vs_a100_baseline": round(samples_s / 3370.0, 2),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reps", type=int, default=50)
+    p.add_argument("--out", default="weights/perf_study.json")
+    args = p.parse_args()
+    print(f"Device: {jax.devices()[0]}", flush=True)
+
+    out = {
+        "attention_ab": attention_ab(args.reps),
+        "train_step": train_step_dtype_ab(args.reps),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"sweep": "perf_study", "done": True}))
+
+
+if __name__ == "__main__":
+    main()

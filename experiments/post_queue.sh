@@ -1,0 +1,20 @@
+#!/bin/bash
+# Post-queue TPU work: Pallas/bf16 perf study + pre-norm from-scratch quality
+# run on the default (75-symbol) physics. Runs after round_queue.sh completes.
+set -x
+cd "$(dirname "$0")/.."
+
+# 1) Pallas-vs-XLA attention A/B + bf16 train-step benchmark.
+timeout 900 python experiments/perf_study.py --reps 30 > /tmp/q_perf.log 2>&1
+
+# 2) From-scratch quality run on the real-physics dataset (pre-norm + AdamW):
+#    target = beat the 0.452 from-scratch anchor of the previous attempt
+#    (reference like-for-like: LSQ-study FP32 0.347, PaperFigures/LSQ/LSQ.py:44).
+timeout 1700 python experiments/train_informer.py \
+  --slot-symbols 75 --snr 21 --epochs 250 --lr 1e-3 --weight-decay 1e-4 \
+  --pre-norm --train-samples 65536 --val-samples 4096 --tag scratch \
+  > /tmp/q_prenorm_scratch.log 2>&1
+
+# 3) Refresh the collected tables.
+timeout 600 python experiments/collect_results.py > /tmp/q_collect2.log 2>&1
+echo POST_QUEUE_DONE
