@@ -3,6 +3,7 @@ from .precoding import spectral_efficiency, zf_precoder
 from .estimation import lmmse_equalize, ls_estimate
 from .link import LinkConfig, simulate_ber, simulate_coded_ber
 from .coding import conv_encode, viterbi_decode
+from .ldpc import ldpc_decode, ldpc_encode, make_qc_ldpc
 from .ofdm import (
     apply_time_channel,
     ofdm_demodulate,
@@ -24,6 +25,9 @@ __all__ = [
     "simulate_coded_ber",
     "conv_encode",
     "viterbi_decode",
+    "ldpc_decode",
+    "ldpc_encode",
+    "make_qc_ldpc",
     "apply_time_channel",
     "ofdm_demodulate",
     "ofdm_modulate",

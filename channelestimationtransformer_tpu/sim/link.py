@@ -99,7 +99,7 @@ def simulate_ber(
     return errors / (b * n_bits), b * n_bits
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_symbols"))
+@partial(jax.jit, static_argnames=("cfg", "num_symbols", "fec"))
 def simulate_coded_ber(
     key: jax.Array,
     h_true: jnp.ndarray,
@@ -107,17 +107,21 @@ def simulate_coded_ber(
     ebno_db,
     cfg: LinkConfig = LinkConfig(),
     num_symbols: int = 64,
+    fec: str = "conv",
 ):
-    """Coded BER/BLER: conv-FEC (K=7 r=1/2) + soft LLRs + Viterbi.
+    """Coded BER/BLER with a selectable in-framework FEC.
 
     The reference's coded link uses Sionna's 5G LDPC
-    (``MimoSimulation/KerasFullSimulation.py:139-151``); the in-framework FEC
-    here is the convolutional code in :mod:`.coding` (documented delta, SURVEY
-    §7.2 step 10). One codeword spans all streams/symbols of a channel
-    realization, so BLER is per channel realization ("block" = one
-    realization's payload, like the reference's per-codeword blocks).
+    (``MimoSimulation/KerasFullSimulation.py:139-151``). Here:
 
-    Returns (ber, bler, info_bits_total).
+    - ``fec="conv"``: K=7 rate-1/2 convolutional code + soft Viterbi
+      (:mod:`.coding`) — any payload size (zero-tail fills the frame).
+    - ``fec="ldpc"``: rate-1/2 QC-LDPC (n=648) + normalized min-sum BP
+      (:mod:`.ldpc`, the 5G-LDPC algorithm family); the payload
+      ``n_streams * num_symbols * bps`` must be a multiple of 648.
+
+    One payload spans all streams/symbols of a channel realization, so BLER
+    is per realization. Returns (ber, bler, info_bits_total).
     """
     import numpy as np
 
@@ -129,11 +133,25 @@ def simulate_coded_ber(
     b = h_true.shape[0]
     bps = int(np.log2(cfg.qam_order))
     n_coded = cfg.n_streams * num_symbols * bps
-    n_info = n_coded // 2 - (K - 1)  # rate-1/2 + zero tail fills the frame
 
     k_bits, k_noise = jax.random.split(key)
-    info = jax.random.bernoulli(k_bits, 0.5, (b, n_info)).astype(jnp.int32)
-    coded = conv_encode(info).astype(jnp.float32)  # [B, n_coded]
+    if fec == "ldpc":
+        from .ldpc import ldpc_encode, make_qc_ldpc
+
+        code = make_qc_ldpc()
+        if n_coded % code.n:
+            raise ValueError(
+                f"LDPC payload {n_coded} must be a multiple of n={code.n}"
+            )
+        frames = n_coded // code.n
+        n_info = frames * code.k
+        info = jax.random.bernoulli(k_bits, 0.5, (b, frames, code.k)).astype(jnp.int32)
+        coded = ldpc_encode(code, info).reshape(b, n_coded).astype(jnp.float32)
+        info = info.reshape(b, n_info)
+    else:
+        n_info = n_coded // 2 - (K - 1)  # rate-1/2 + zero tail fills the frame
+        info = jax.random.bernoulli(k_bits, 0.5, (b, n_info)).astype(jnp.int32)
+        coded = conv_encode(info).astype(jnp.float32)  # [B, n_coded]
 
     syms = qam_map(coded, cfg.qam_order).reshape(b, cfg.n_streams, num_symbols)
     p = zf_precoder(h_precode)
@@ -154,7 +172,14 @@ def simulate_coded_ber(
     x_hat = jnp.swapaxes(x_hat, 1, 2).reshape(b, cfg.n_streams * num_symbols)
 
     llr = qam_llr(x_hat[..., None], cfg.qam_order, noise_var).reshape(b, n_coded)
-    decoded = viterbi_decode(llr, num_bits=n_info)
+    if fec == "ldpc":
+        from .ldpc import ldpc_decode
+
+        decoded = ldpc_decode(
+            code, llr.reshape(b, frames, code.n), num_iters=25
+        ).reshape(b, n_info)
+    else:
+        decoded = viterbi_decode(llr, num_bits=n_info)
     bit_errs = jnp.sum(decoded != info, axis=-1)
     ber = jnp.sum(bit_errs) / (b * n_info)
     bler = jnp.mean((bit_errs > 0).astype(jnp.float32))

@@ -63,8 +63,11 @@ def main():
     p.add_argument("--slot-symbols", type=int, default=75,
                    help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
     p.add_argument("--coded", action="store_true",
-                   help="convolutional-coded link (Viterbi); the reference's "
-                        "LDPC-coded Sionna sim analogue (sim/coding.py)")
+                   help="coded link; the reference's LDPC-coded Sionna sim "
+                        "analogue (sim/coding.py, sim/ldpc.py)")
+    p.add_argument("--fec", choices=["conv", "ldpc"], default="conv",
+                   help="FEC for --coded: K=7 r=1/2 conv+Viterbi, or QC-LDPC "
+                        "(n=648) + min-sum BP")
     p.add_argument("--horizon", type=int, default=4,
                    help="0-based slot of the prediction horizon to evaluate")
     p.add_argument("--out", default="weights/e2e_results.json")
@@ -94,7 +97,8 @@ def main():
           f"({10 * np.log10(nmse):.2f} dB)", flush=True)
 
     results = {"prediction_nmse": nmse, "ebno_db": args.ebno_db, "ber": {},
-               "se": {}, "coded": bool(args.coded)}
+               "se": {}, "coded": bool(args.coded),
+               "fec": args.fec}
     if args.coded:
         results["bler"] = {}
     for name, h_pre in [("perfect", h_true), ("outdated", h_outdated),
@@ -102,9 +106,11 @@ def main():
         bers, blers = [], []
         for ebno in args.ebno_db:
             if args.coded:
+                # LDPC frames are n=648: 162 QPSK symbols x 2 streams x 2 bps
+                n_sym = 162 if args.fec == "ldpc" else 128
                 ber, bler, _ = simulate_coded_ber(
                     jax.random.key(5), h_true, h_pre, float(ebno),
-                    LinkConfig(qam_order=4), 128,
+                    LinkConfig(qam_order=4), n_sym, fec=args.fec,
                 )
                 blers.append(float(bler))
             else:
