@@ -1,6 +1,7 @@
 from .cdl import CDL_B, CDLModel, generate_cdl_channel
 from .beamforming import beam_sweep_project, dft_codebook, dft_codebook_ri
 from .dataset import generate_beamformed_dataset
+from .interpolate import interpolate_slots
 
 __all__ = [
     "CDL_B",
@@ -10,4 +11,5 @@ __all__ = [
     "dft_codebook",
     "dft_codebook_ri",
     "generate_beamformed_dataset",
+    "interpolate_slots",
 ]

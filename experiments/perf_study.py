@@ -66,6 +66,35 @@ def attention_ab(reps: int):
     return results
 
 
+def quant_kernel_ab(reps: int):
+    """Pallas fused fixed-point fake-quant vs the pure-JAX/XLA path, at the
+    optimizer weight-quant scale (all Informer params ~ 1M elements)."""
+    from channelestimationtransformer_tpu.ops.pallas.quant import (
+        fused_fixed_point_quantize,
+    )
+    from channelestimationtransformer_tpu.ops.quant.functional import (
+        fixed_point_quantize,
+    )
+
+    results = []
+    rng = np.random.default_rng(2)
+    for n in (1 << 20, 1 << 24):
+        x = jnp.asarray(rng.normal(size=(n,)), jnp.float32) * 0.1
+        xla_fn = jax.jit(lambda x: fixed_point_quantize(x, 8, 4))
+        pal_fn = jax.jit(lambda x: fused_fixed_point_quantize(x, 8, 4))
+        err = float(jnp.max(jnp.abs(xla_fn(x) - pal_fn(x))))
+        ms_xla, _ = time_fn(xla_fn, x, warmup=10, reps=reps)
+        ms_pal, _ = time_fn(pal_fn, x, warmup=10, reps=reps)
+        row = {
+            "bench": "quant_ab", "elements": n,
+            "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
+            "speedup": round(ms_xla / ms_pal, 3), "max_abs_err": err,
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    return results
+
+
 def train_step_dtype_ab(reps: int):
     results = []
     rng = np.random.default_rng(1)
@@ -117,6 +146,7 @@ def main():
 
     out = {
         "attention_ab": attention_ab(args.reps),
+        "quant_ab": quant_kernel_ab(args.reps),
         "train_step": train_step_dtype_ab(args.reps),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -124,3 +124,43 @@ def test_generate_beamformed_dataset_end_to_end():
     assert train.shape[0] == 5 and val.shape[0] == 1
     # Standardized series: zero mean over slots.
     np.testing.assert_allclose(np.asarray(h).mean(axis=1), 0.0, atol=1e-4)
+
+
+def test_interpolate_slots_knots_and_accuracy():
+    """Cubic slot interpolation (reference MimoSimulation/utils.py:68-90):
+    knots reproduced exactly; smooth signals reconstructed accurately."""
+    import numpy as np
+
+    from channelestimationtransformer_tpu.channel.interpolate import (
+        interpolate_slots,
+    )
+
+    t = np.arange(16)
+    x = np.stack([np.sin(2 * np.pi * 0.05 * t), np.cos(2 * np.pi * 0.07 * t)], -1)
+    up = interpolate_slots(jnp.asarray(x, jnp.float32), factor=4, axis=0)
+    assert up.shape == (61, 2)
+    # knots exact
+    np.testing.assert_allclose(np.asarray(up[::4]), x, atol=1e-6)
+    # dense truth within interior segments
+    tf = np.arange(61) / 4
+    truth = np.stack(
+        [np.sin(2 * np.pi * 0.05 * tf), np.cos(2 * np.pi * 0.07 * tf)], -1
+    )
+    err = np.abs(np.asarray(up[4:-4]) - truth[4:-4]).max()
+    assert err < 5e-3, err
+
+
+def test_interpolate_slots_axis_and_identity():
+    import numpy as np
+
+    from channelestimationtransformer_tpu.channel.interpolate import (
+        interpolate_slots,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 10, 4)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(interpolate_slots(x, 1, axis=1)), np.asarray(x)
+    )
+    up = interpolate_slots(x, 3, axis=1)
+    assert up.shape == (3, 28, 4)
+    np.testing.assert_allclose(np.asarray(up[:, ::3]), np.asarray(x), atol=1e-6)
