@@ -101,3 +101,54 @@ def standardize_time_series(h_eff: jnp.ndarray) -> jnp.ndarray:
         centered[..., 0] ** 2 + centered[..., 1] ** 2, axis=1, keepdims=True
     ) / (h_eff.shape[1] - 1)
     return centered / jnp.sqrt(var)[..., None]
+
+
+def beam_sweep_project_sharded(
+    h: jnp.ndarray,
+    codebook: jnp.ndarray,
+    num_selected: int,
+    mesh,
+    *,
+    axis_name: str = "model",
+):
+    """Antenna-sharded beam sweep (SURVEY §2.7: shard the 64-antenna dim of
+    the beamforming preprocessing across the mesh).
+
+    The TX-antenna axis ``S`` of both the channel and the codebook is sharded
+    over ``axis_name``; each device computes its partial complex projection
+    ``sum_{s in shard} h_s f_{s,k}`` and one ``psum`` over the axis completes
+    the beam projections — the ranking/histogram/gather then runs replicated
+    (it is tiny). Numerically identical to :func:`beam_sweep_project`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(h_loc, cb_loc):
+        hr, hi = h_loc[..., 0], h_loc[..., 1]
+        cr, ci = cb_loc[..., 0], cb_loc[..., 1]
+        pr = jnp.einsum("btus,sk->btuk", hr, cr) - jnp.einsum("btus,sk->btuk", hi, ci)
+        pi = jnp.einsum("btus,sk->btuk", hr, ci) + jnp.einsum("btus,sk->btuk", hi, cr)
+        pr = jax.lax.psum(pr, axis_name)
+        pi = jax.lax.psum(pi, axis_name)
+
+        num_beams = cb_loc.shape[1]
+        power = jnp.sum(pr**2 + pi**2, axis=2)
+        _, top_per_slot = jax.lax.top_k(power, num_selected)
+        flat = top_per_slot.reshape(h_loc.shape[0], -1)
+        counts = jax.vmap(
+            lambda idx: jnp.zeros(num_beams, jnp.int32).at[idx].add(1)
+        )(flat)
+        _, selected = jax.lax.top_k(counts, num_selected)
+        take = lambda p: jnp.take_along_axis(p, selected[:, None, None, :], axis=3)
+        h_eff = jnp.stack([take(pr), take(pi)], axis=-1)
+        return jnp.swapaxes(h_eff, 2, 3), selected
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, axis_name, None),  # h: shard S
+            P(axis_name, None, None),  # codebook: shard S
+        ),
+        out_specs=(P(), P()),
+    )
+    return fn(h, codebook)

@@ -94,3 +94,48 @@ def train_val_split(
     n = h.shape[0]
     n_val = int(n * val_fraction)
     return h[: n - n_val], h[n - n_val :]
+
+
+def generate_beamformed_dataset_sharded(
+    key: jax.Array,
+    mesh,
+    *,
+    model: CDLModel = CDLModel(),
+    num_samples: int = 512,
+    num_slots: int = 150,
+    num_beams_selected: int = 4,
+    standardize: bool = True,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """Sample-sharded dataset generation over a mesh ``data`` axis.
+
+    Each device draws its own shard with a device-invariant RNG fold
+    (``fold_in(key, axis_index)``, SURVEY §7.3 multi-host input pipeline),
+    so the global dataset is deterministic w.r.t. ``key`` regardless of the
+    mesh size, and the output stays sharded on ``data`` — ready to feed the
+    data-parallel Trainer without a resharding collective.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis_name]
+    if num_samples % n_shards:
+        raise ValueError(f"num_samples {num_samples} not divisible by "
+                         f"{axis_name} axis size {n_shards}")
+    per = num_samples // n_shards
+    codebook = dft_codebook_ri(model.num_bs_ant)
+
+    def local(key):
+        k = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+        h = generate_cdl_channel(k, model, per, num_slots)
+        h_eff, _ = beam_sweep_project(h, codebook, num_beams_selected)
+        if standardize:
+            h_eff = standardize_time_series(h_eff)
+        return jnp.swapaxes(h_eff, 2, 3)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name),), out_specs=P(axis_name),
+    )
+    # one key per shard slot (content comes from the fold, not the split)
+    keys = jnp.broadcast_to(key, (n_shards,) + key.shape)
+    return fn(keys)

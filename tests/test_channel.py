@@ -164,3 +164,66 @@ def test_interpolate_slots_axis_and_identity():
     up = interpolate_slots(x, 3, axis=1)
     assert up.shape == (3, 28, 4)
     np.testing.assert_allclose(np.asarray(up[:, ::3]), np.asarray(x), atol=1e-6)
+
+
+def test_beam_sweep_project_sharded_matches_dense():
+    """Antenna-sharded beam sweep (psum partial projections) == single-device
+    result (SURVEY §2.7 antenna-sharding row)."""
+    import numpy as np
+
+    from channelestimationtransformer_tpu.channel.beamforming import (
+        beam_sweep_project,
+        beam_sweep_project_sharded,
+        dft_codebook_ri,
+    )
+    from channelestimationtransformer_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    mesh = make_mesh(data=1, model=n)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(2, 12, 4, 64, 2)), jnp.float32)
+    cb = dft_codebook_ri(64)
+
+    h_eff, sel = beam_sweep_project(h, cb, 4)
+    h_eff_s, sel_s = beam_sweep_project_sharded(h, cb, 4, mesh)
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_s))
+    np.testing.assert_allclose(
+        np.asarray(h_eff), np.asarray(h_eff_s), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_generate_beamformed_dataset_sharded():
+    """Data-sharded generation: correct shape/sharding, deterministic in key,
+    shards differ (per-device RNG fold)."""
+    import numpy as np
+
+    from channelestimationtransformer_tpu.channel.dataset import (
+        generate_beamformed_dataset_sharded,
+    )
+    from channelestimationtransformer_tpu.channel.cdl import CDLModel
+    from channelestimationtransformer_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    mesh = make_mesh(data=n, model=1)
+    model = CDLModel()
+    h = generate_beamformed_dataset_sharded(
+        jax.random.key(3), mesh, model=model, num_samples=2 * n, num_slots=12,
+    )
+    assert h.shape == (2 * n, 12, 2, 4, 2)
+    arr = np.asarray(h)
+    assert np.isfinite(arr).all()
+    # per-shard content differs (distinct RNG folds)
+    assert not np.allclose(arr[:2], arr[2:4])
+    # deterministic in key
+    h2 = generate_beamformed_dataset_sharded(
+        jax.random.key(3), mesh, model=model, num_samples=2 * n, num_slots=12,
+    )
+    np.testing.assert_array_equal(arr, np.asarray(h2))
+    # divisibility guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        generate_beamformed_dataset_sharded(
+            jax.random.key(3), mesh, model=model, num_samples=2 * n + 1,
+            num_slots=12,
+        )
