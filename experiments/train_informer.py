@@ -68,6 +68,11 @@ def parse_args():
                         "matches the statistics of the reference repo's stored "
                         "channel pickle (lag-1 corr 0.88) and likely the "
                         "original datasets")
+    p.add_argument("--ue-speed-kmh", type=float, default=30.0,
+                   help="UE mobility (reference: 30 km/h, GenerateChannels"
+                        "FreqPreMatlab.py). Lower = smoother/more predictable "
+                        "channel (the reference's stored pickle is nearly "
+                        "AR-perfect)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="weights")
     p.add_argument("--tag", type=str, default="")
@@ -111,6 +116,7 @@ def main():
         f"_nh_{cfg.n_heads}_el_{list(cfg.e_layers)}_dl_{cfg.d_layers}"
         f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
         + (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else "")
+        + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
         + ("_prenorm" if args.pre_norm else "")
         + (f"_{args.tag}" if args.tag else "")
     )
@@ -120,7 +126,8 @@ def main():
     t0 = time.time()
     key = jax.random.key(args.seed + 100)
     k1, k2 = jax.random.split(key)
-    cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols)
+    cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols,
+                   ue_speed_ms=args.ue_speed_kmh / 3.6)
     train_ds = make_window_dataset(
         k1, model=cdl, num_samples=args.train_samples,
         num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
