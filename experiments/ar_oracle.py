@@ -82,6 +82,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--snr", type=float, nargs="+", default=[12, 21])
     p.add_argument("--slot-symbols", type=int, default=14)
+    p.add_argument("--ue-speed-kmh", type=float, default=30.0)
     p.add_argument("--order", type=int, default=30)
     p.add_argument("--windows", type=int, default=256)
     p.add_argument("--seq-len", type=int, default=90)
@@ -93,7 +94,8 @@ def main():
     for snr in args.snr:
         ds = make_window_dataset(
             jax.random.key(1234),
-            model=CDLModel(sampling_frequency=120e3 / args.slot_symbols),
+            model=CDLModel(sampling_frequency=120e3 / args.slot_symbols,
+                           ue_speed_ms=args.ue_speed_kmh / 3.6),
             num_samples=1024, num_slots=100,
             seq_len=args.seq_len, pred_len=args.pred_len, snr_db=snr,
         )

@@ -80,6 +80,83 @@ def main():
             fig.savefig(out, dpi=150)
             made.append(out)
 
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # PTQ NMSE-vs-wordlength (QuantizationStudy/PTQ loss_list figure).
+    ptq = os.path.join(args.weights_dir, "ptq_results.json")
+    if os.path.exists(ptq):
+        with open(ptq) as f:
+            data = json.load(f)
+        # schema: {"fp32": [split, nmse], "<rounding>_wl<w>_fl<f>": [split, nmse]}
+        series = {}
+        for key, val in data.items():
+            if "_wl" not in key:
+                continue
+            rounding, rest = key.split("_wl")
+            wl = int(rest.split("_")[0])
+            nmse = val[1] if isinstance(val, (list, tuple)) else val
+            series.setdefault(rounding, {})[wl] = nmse
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        for rounding, sweep in sorted(series.items()):
+            wls = sorted(sweep)
+            ax.plot(wls, [10 * np.log10(sweep[w]) for w in wls], "o-",
+                    label=rounding)
+        if "fp32" in data:
+            fp = data["fp32"][1]
+            ax.axhline(10 * np.log10(fp), color="k", ls=":", label="fp32")
+        ax.set_xlabel("word length [bits]")
+        ax.set_ylabel("NMSE [dB]")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        out = os.path.join(args.out, "ptq_nmse_vs_wl.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
+    # End-to-end BER vs Eb/N0 per CSI source (MimoSimulation figure).
+    e2e = os.path.join(args.weights_dir, "e2e_results.json")
+    if os.path.exists(e2e):
+        with open(e2e) as f:
+            data = json.load(f)
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        for name, bers in data.get("ber", {}).items():
+            ax.semilogy(data["ebno_db"], np.maximum(bers, 1e-6), "o-", label=name)
+        ax.set_xlabel("Eb/N0 [dB]")
+        ax.set_ylabel("BER")
+        ax.legend()
+        ax.grid(True, which="both", alpha=0.3)
+        fig.tight_layout()
+        out = os.path.join(args.out, "e2e_ber.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
+    # Model NMSE vs the AR-oracle predictability bound.
+    orc = os.path.join(args.weights_dir, "ar_oracle.json")
+    if os.path.exists(orc) and snr_results.get("informer"):
+        with open(orc) as f:
+            oracle = json.load(f)["snr"]
+        snrs = sorted(snr_results["informer"])
+        model_db = [
+            10 * np.log10(np.mean(snr_results["informer"][s])) for s in snrs
+        ]
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        ax.plot(snrs, model_db, "o-", label="Informer (ours)")
+        osnrs = sorted(float(k) for k in oracle)
+        ax.plot(osnrs, [oracle[f"{s:g}" if f"{s:g}" in oracle else str(s)]["nmse_db"]
+                        for s in osnrs],
+                "s--", label="AR(30) per-window oracle")
+        ax.set_xlabel("SNR [dB]")
+        ax.set_ylabel("NMSE [dB]")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        out = os.path.join(args.out, "nmse_vs_oracle.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
     # Loss curves from any text logs given.
     parsed = {}
     for logpath in args.logs:
