@@ -23,11 +23,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+BLOCK_ROWS = 512  # x 1024 lanes x 4 B = 2 MB per in/out block (VMEM-safe)
+
+
+def _blocked(flat2d):
+    """Pad the row dim to a BLOCK_ROWS multiple; return (padded, grid)."""
+    rows = flat2d.shape[0]
+    pad_rows = (-rows) % BLOCK_ROWS
+    if pad_rows:
+        flat2d = jnp.pad(flat2d, ((0, pad_rows), (0, 0)))
+    return flat2d, flat2d.shape[0] // BLOCK_ROWS
+
+
 def _fixed_kernel(x_ref, seed_ref, o_ref, *, scale, t_min, t_max, stochastic, clamp):
     x = x_ref[:]
     scaled = x * scale
     if stochastic:
-        pltpu.prng_seed(seed_ref[0])
+        # distinct stream per grid cell
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         bits = pltpu.prng_random_bits(scaled.shape)
         u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # U[0,1)
         q = jnp.floor(scaled + u)
@@ -66,6 +79,7 @@ def fused_fixed_point_quantize(
     flat = x.reshape(-1)
     pad = (-flat.size) % 1024
     flat = jnp.pad(flat, (0, pad)).reshape(-1, 1024)
+    flat, grid = _blocked(flat)
 
     kernel = functools.partial(
         _fixed_kernel,
@@ -77,11 +91,14 @@ def fused_fixed_point_quantize(
     )
     out = pl.pallas_call(
         kernel,
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, 1024), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BLOCK_ROWS, 1024), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),
     )(flat, jnp.asarray([seed], jnp.int32))
     return out.reshape(-1)[: np.prod(orig_shape)].reshape(orig_shape)
@@ -115,16 +132,20 @@ def fused_nearest_codeword(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray
     flat = x.reshape(-1)
     pad = (-flat.size) % 1024
     flat = jnp.pad(flat, (0, pad)).reshape(-1, 1024)
+    flat, grid = _blocked(flat)
     cb = codebook.astype(x.dtype).reshape(-1)
 
     kernel = functools.partial(_codeword_kernel, cb_size=cb.size)
     out = pl.pallas_call(
         kernel,
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, 1024), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BLOCK_ROWS, 1024), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),
     )(flat, cb)
     return out.reshape(-1)[: np.prod(orig_shape)].reshape(orig_shape)

@@ -26,15 +26,29 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _force(out):
+    """Reliable execution barrier: fetch a scalar reduction of the output.
+
+    On the axon tunnel runtime ``jax.block_until_ready`` can return before
+    the dispatched program actually executes (observed 50-150x inflated
+    throughput); materializing a value on the host is the only trustworthy
+    sync. The reduction is a tiny device op + a scalar fetch, so the timing
+    overhead is one tunnel RTT — identical per rep, subtract-out-able."""
+    leaf = jax.tree.leaves(out)[0]
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.asarray(leaf).ravel()[:1]))
+
+
 def time_fn(fn: Callable, *args, warmup: int = 20, reps: int = 100):
     """Mean/std wall ms of ``fn(*args)`` with device sync (the reference's
     CUDA-event harness semantics)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         times.append((time.perf_counter() - t0) * 1000)
     return float(np.mean(times)), float(np.std(times))
 

@@ -36,26 +36,46 @@ from channelestimationtransformer_tpu.train.trainer import (
 from channelestimationtransformer_tpu.utils.profiling import time_fn
 
 
+def _scanned(fn, n):
+    """n back-to-back invocations in ONE jitted program (the output feeds the
+    next input), so the tunnel's ~45 ms dispatch RTT is amortized away and the
+    measurement reflects on-device kernel time."""
+
+    def run(x0, *rest):
+        def body(c, _):
+            return fn(c, *rest), None
+
+        out, _ = jax.lax.scan(body, x0, None, length=n)
+        return out
+
+    return jax.jit(run)
+
+
 def attention_ab(reps: int):
     results = []
     rng = np.random.default_rng(0)
     h, e = 8, 16  # flagship: 8 heads x 16 head-dim (d_model 128)
+    inner = 20  # kernel invocations per dispatch
     # whole-problem-in-VMEM kernel: cap L so [L, L] f32 scores fit in VMEM
     for b, l in [(256, 90), (256, 128), (64, 512), (32, 1024)]:
         q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
         k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
         v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
 
-        xla_fn = jax.jit(lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0])
-        pallas_fn = jax.jit(lambda q, k, v: mha_attention(q, k, v, causal=False))
+        xla_one = lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0]
+        pal_one = lambda q, k, v: mha_attention(q, k, v, causal=False)
 
         # numerics check first
-        ref = xla_fn(q, k, v)
-        got = pallas_fn(q, k, v)
-        err = float(jnp.max(jnp.abs(ref - got)))
+        err = float(jnp.max(jnp.abs(
+            jax.jit(xla_one)(q, k, v) - jax.jit(pal_one)(q, k, v)
+        )))
 
-        ms_xla, _ = time_fn(xla_fn, q, k, v, warmup=10, reps=reps)
-        ms_pal, _ = time_fn(pallas_fn, q, k, v, warmup=10, reps=reps)
+        xla_fn = _scanned(xla_one, inner)
+        pallas_fn = _scanned(pal_one, inner)
+        ms_xla, _ = time_fn(xla_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
+        ms_pal, _ = time_fn(pallas_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
+        ms_xla /= inner
+        ms_pal /= inner
         row = {
             "bench": "attention_ab", "batch": b, "seq": l,
             "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
@@ -78,13 +98,18 @@ def quant_kernel_ab(reps: int):
 
     results = []
     rng = np.random.default_rng(2)
+    inner = 20
     for n in (1 << 20, 1 << 24):
         x = jnp.asarray(rng.normal(size=(n,)), jnp.float32) * 0.1
-        xla_fn = jax.jit(lambda x: fixed_point_quantize(x, 8, 4))
-        pal_fn = jax.jit(lambda x: fused_fixed_point_quantize(x, 8, 4))
-        err = float(jnp.max(jnp.abs(xla_fn(x) - pal_fn(x))))
-        ms_xla, _ = time_fn(xla_fn, x, warmup=10, reps=reps)
-        ms_pal, _ = time_fn(pal_fn, x, warmup=10, reps=reps)
+        xla_one = lambda x: fixed_point_quantize(x, 8, 4)
+        pal_one = lambda x: fused_fixed_point_quantize(x, 8, 4)
+        err = float(jnp.max(jnp.abs(jax.jit(xla_one)(x) - jax.jit(pal_one)(x))))
+        xla_fn = _scanned(xla_one, inner)
+        pal_fn = _scanned(pal_one, inner)
+        ms_xla, _ = time_fn(xla_fn, x, warmup=2, reps=max(reps // 10, 3))
+        ms_pal, _ = time_fn(pal_fn, x, warmup=2, reps=max(reps // 10, 3))
+        ms_xla /= inner
+        ms_pal /= inner
         row = {
             "bench": "quant_ab", "elements": n,
             "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
