@@ -50,6 +50,36 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
+def ensure_virtual_devices(n_devices: int) -> None:
+    """Guarantee >= n_devices JAX devices, falling back to a virtual CPU mesh.
+
+    Hardware plugins (the axon tunnel) pin themselves regardless of
+    ``JAX_PLATFORMS``, and ``XLA_FLAGS`` is parsed once per process at first
+    client creation — so after a 1-chip backend initialized, the only reliable
+    route to an N-device mesh is: switch ``jax_platforms`` to cpu, drop the
+    live backend set (``clear_backends`` also clears the cached
+    ``get_backend``), then set ``jax_num_cpu_devices`` while no backend is
+    initialized. Used by multi-chip dry runs and the scaling harness when run
+    without a pod."""
+    if jax.local_device_count() >= n_devices:
+        return
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except Exception:
+        pass
+    if jax.local_device_count() < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {jax.local_device_count()}"
+        )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the ``data`` axis."""
     return NamedSharding(mesh, P("data"))

@@ -112,21 +112,9 @@ def _split_output(out):
     return out[0] if isinstance(out, tuple) else out
 
 
-def train_step_impl(
-    state: TrainState,
-    dataset_h: jnp.ndarray,
-    step_rng: jax.Array,
-    *,
-    batch_size: int,
-    label_len: int,
-    seq_len: int = 0,
-    pred_len: int = 0,
-    snr_db: float = 0.0,
-):
-    """One fused step: sample windows -> AWGN -> forward/backward -> adam."""
-    ds = WindowDataset(h=dataset_h, seq_len=seq_len, pred_len=pred_len, snr_db=snr_db)
-    k_data, k_drop, k_sample = jax.random.split(step_rng, 3)
-    x_enc, x_dec, target = make_batch(k_data, ds, batch_size, label_len)
+def _update(state: TrainState, x_enc, x_dec, target, k_drop, k_sample):
+    """Forward/backward/adam on an already-sampled batch (shared by the
+    global-gather and per-shard input paths)."""
 
     def loss_fn(params):
         out, new_stats = _apply(
@@ -143,6 +131,24 @@ def train_step_impl(
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
     return state, {"loss": loss, "loss_split": split}
+
+
+def train_step_impl(
+    state: TrainState,
+    dataset_h: jnp.ndarray,
+    step_rng: jax.Array,
+    *,
+    batch_size: int,
+    label_len: int,
+    seq_len: int = 0,
+    pred_len: int = 0,
+    snr_db: float = 0.0,
+):
+    """One fused step: sample windows -> AWGN -> forward/backward -> adam."""
+    ds = WindowDataset(h=dataset_h, seq_len=seq_len, pred_len=pred_len, snr_db=snr_db)
+    k_data, k_drop, k_sample = jax.random.split(step_rng, 3)
+    x_enc, x_dec, target = make_batch(k_data, ds, batch_size, label_len)
+    return _update(state, x_enc, x_dec, target, k_drop, k_sample)
 
 
 train_step = partial(jax.jit, static_argnames=(
@@ -184,6 +190,72 @@ def train_chunk(
     state, (losses, splits) = jax.lax.scan(
         body, state, jnp.arange(num_steps)
     )
+    return state, {"loss_sum": jnp.sum(losses), "split_sum": jnp.sum(splits, axis=0)}
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num_steps", "per_device_batch", "label_len", "seq_len", "pred_len",
+    ),
+    donate_argnums=(0,),
+)
+def train_chunk_dp(
+    state: TrainState,
+    dataset_h: jnp.ndarray,
+    chunk_rng: jax.Array,
+    *,
+    mesh,
+    num_steps: int,
+    per_device_batch: int,
+    label_len: int,
+    seq_len: int = 0,
+    pred_len: int = 0,
+    snr_db: float = 0.0,
+):
+    """Data-parallel train chunk with a per-shard input pipeline.
+
+    ``dataset_h`` is sharded on the ``data`` mesh axis and each device samples
+    its ``per_device_batch`` windows from its LOCAL shard under ``shard_map``
+    (per-device RNG fold). Sampling a data-sharded dataset with global random
+    indices instead makes XLA all-gather the whole dataset every step — the
+    scaling killer this path exists to avoid. The model/optimizer stay under
+    the global jit: replicated params + batch-sharded activations, XLA inserts
+    the gradient psum (global batch = per_device_batch * |data|)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+    def sample_local(h_local, key):
+        ds = WindowDataset(
+            h=h_local, seq_len=seq_len, pred_len=pred_len, snr_db=snr_db
+        )
+        k = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return make_batch(k, ds, per_device_batch, label_len)
+
+    sample_sharded = shard_map(
+        sample_local, mesh, in_specs=(P("data"), P()), out_specs=P("data")
+    )
+
+    def body(carry, i):
+        k_data, k_drop, k_sample = jax.random.split(
+            jax.random.fold_in(chunk_rng, i), 3
+        )
+        carry, metrics = _update(
+            carry, *sample_sharded(dataset_h, k_data), k_drop, k_sample
+        )
+        return carry, (metrics["loss"], metrics["loss_split"])
+
+    state, (losses, splits) = jax.lax.scan(body, state, jnp.arange(num_steps))
     return state, {"loss_sum": jnp.sum(losses), "split_sum": jnp.sum(splits, axis=0)}
 
 

@@ -1,0 +1,177 @@
+"""Scaling-efficiency harness: data-parallel train throughput at 1..N devices.
+
+SURVEY.md §7.1 bench/ row ("scaling-efficiency harness (1 chip / 1 host /
+N hosts)") and the BASELINE.json north star (">=90% scaling efficiency at 2
+hosts"). The reference has no distributed training at all (SURVEY §2.7); this
+measures the framework's data-parallel path: params replicated, dataset and
+batch sharded on the ``data`` mesh axis, gradients reduced by XLA-inserted
+psum inside the fused ``train_chunk`` program.
+
+Weak scaling: per-device batch and per-device dataset shard are fixed, so
+perfect scaling is throughput(N) = N * throughput(1) (efficiency 1.0).
+
+On a real pod this measures true ICI/DCN scaling (run one process per host via
+``parallel.launch.initialize_distributed``). In a single-chip/CPU environment
+it falls back to N virtual CPU devices — that validates the sharded program
+and the harness end to end, but virtual devices share host cores, so the CPU
+"efficiency" is a lower bound on the program's scalability, not a hardware
+claim (the artifact records the platform so the two are never conflated).
+
+Usage:
+    python experiments/scaling_study.py                 # 1,2,4,8 virtual CPU
+    python experiments/scaling_study.py --device-counts 1,2,4 --full-model
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
+
+_rt_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def measure_device_count(
+    d: int,
+    *,
+    cfg,
+    tc,
+    host_h: np.ndarray,
+    per_device_batch: int,
+    samples_per_device: int,
+    steps_per_chunk: int,
+    reps: int,
+):
+    """Weak-scaling throughput of the fused train chunk on a d-device mesh."""
+    from channelestimationtransformer_tpu.models import build_informer
+    from channelestimationtransformer_tpu.parallel.mesh import make_mesh
+    from channelestimationtransformer_tpu.train.trainer import (
+        create_train_state,
+        train_chunk_dp,
+    )
+
+    mesh = make_mesh(data=d, devices=jax.devices()[:d])
+    model = build_informer(cfg)
+    state = create_train_state(
+        model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc
+    )
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    n = samples_per_device * d
+    h = jax.device_put(
+        jnp.asarray(host_h[:n]), NamedSharding(mesh, P("data"))
+    )
+    batch = per_device_batch * d
+
+    kwargs = dict(
+        mesh=mesh,
+        num_steps=steps_per_chunk,
+        per_device_batch=per_device_batch,
+        label_len=cfg.label_len,
+        seq_len=cfg.seq_len,
+        pred_len=cfg.pred_len,
+        snr_db=21.0,
+    )
+
+    key = jax.random.key(1)
+    state, m = train_chunk_dp(state, h, key, **kwargs)  # compile + warmup
+    float(m["loss_sum"])  # value-fetch barrier (see utils/profiling._force)
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, m = train_chunk_dp(state, h, jax.random.fold_in(key, i), **kwargs)
+        float(m["loss_sum"])
+    dt = (time.perf_counter() - t0) / reps
+
+    samples_per_s = steps_per_chunk * batch / dt
+    return {
+        "devices": d,
+        "global_batch": batch,
+        "ms_per_step": round(1000 * dt / steps_per_chunk, 4),
+        "samples_per_s": round(samples_per_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device-counts", default="1,2,4,8")
+    ap.add_argument("--per-device-batch", type=int, default=32)
+    ap.add_argument("--samples-per-device", type=int, default=512)
+    ap.add_argument("--steps-per-chunk", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument(
+        "--full-model",
+        action="store_true",
+        help="flagship config (use on real hardware; default is a small "
+        "model sized for the virtual-CPU fallback)",
+    )
+    ap.add_argument(
+        "--out", default=os.path.join(os.path.dirname(__file__), "artifacts")
+    )
+    args = ap.parse_args()
+
+    counts = sorted(int(c) for c in args.device_counts.split(","))
+    from channelestimationtransformer_tpu.core.config import (
+        InformerConfig,
+        TrainConfig,
+    )
+    from channelestimationtransformer_tpu.parallel.mesh import (
+        ensure_virtual_devices,
+    )
+
+    ensure_virtual_devices(counts[-1])
+    platform = jax.devices()[0].platform
+
+    if args.full_model:
+        cfg = InformerConfig()
+    else:
+        cfg = InformerConfig(
+            seq_len=48, label_len=8, pred_len=5, d_model=32, n_heads=4,
+            e_layers=(2, 1), d_layers=2, d_ff=32,
+        )
+    tc = TrainConfig(batch_size=args.per_device_batch)
+
+    rng = np.random.default_rng(0)
+    slots = cfg.seq_len + cfg.pred_len + 8
+    host_h = rng.normal(
+        size=(args.samples_per_device * counts[-1], slots, cfg.enc_in)
+    ).astype(np.float32)
+
+    rows = []
+    for d in counts:
+        row = measure_device_count(
+            d,
+            cfg=cfg,
+            tc=tc,
+            host_h=host_h,
+            per_device_batch=args.per_device_batch,
+            samples_per_device=args.samples_per_device,
+            steps_per_chunk=args.steps_per_chunk,
+            reps=args.reps,
+        )
+        base = rows[0]["samples_per_s"] if rows else row["samples_per_s"]
+        row["efficiency_vs_1dev"] = round(
+            row["samples_per_s"] / (row["devices"] * base), 3
+        )
+        rows.append(row)
+        print(json.dumps(row))
+
+    result = {"platform": platform, "weak_scaling": rows}
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "scaling.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
