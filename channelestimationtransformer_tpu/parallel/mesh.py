@@ -63,17 +63,24 @@ def ensure_virtual_devices(n_devices: int) -> None:
     without a pod."""
     if jax.local_device_count() >= n_devices:
         return
+    platform = jax.devices()[0].platform if jax.local_device_count() else "none"
+    if platform not in ("cpu", "none"):
+        import warnings
+
+        warnings.warn(
+            f"ensure_virtual_devices: replacing live {platform} backend "
+            f"({jax.local_device_count()} device(s)) with {n_devices} virtual "
+            "CPU devices; arrays created on the old backend become invalid "
+            "and all subsequent compute runs on CPU",
+            stacklevel=2,
+        )
     jax.config.update("jax_platforms", "cpu")
     try:
         from jax.extend.backend import clear_backends
-
-        clear_backends()
-    except Exception:
-        pass
-    try:
-        jax.config.update("jax_num_cpu_devices", n_devices)
-    except Exception:
-        pass
+    except ImportError:  # older jax layout
+        from jax.lib.xla_bridge import clear_backends  # type: ignore
+    clear_backends()
+    jax.config.update("jax_num_cpu_devices", n_devices)
     if jax.local_device_count() < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {jax.local_device_count()}"

@@ -346,9 +346,24 @@ class Trainer:
         self._train_h = self.train_data.h
         self._val_h = self.val_data.h
         if self.mesh is not None:
+            # Per-shard sampling (train_chunk_dp) draws each device's windows
+            # from its contiguous local shard; a sorted on-disk dataset
+            # (scenario/SNR/time ordered pickles) would permanently bias each
+            # device's sub-batches, so shuffle sample order on host first.
+            perm = jax.random.permutation(
+                jax.random.key(self.train_cfg.seed ^ 0x5EED),
+                self._train_h.shape[0],
+            )
+            self._train_h = self._train_h[perm]
             self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
             self._train_h = jax.device_put(self._train_h, batch_sharding(self.mesh))
             self._val_h = jax.device_put(self._val_h, batch_sharding(self.mesh))
+            n_data = self.mesh.shape["data"]
+            if self.train_cfg.batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size {self.train_cfg.batch_size} not divisible by "
+                    f"data-axis size {n_data}"
+                )
 
     def _step_kwargs(self, data: WindowDataset):
         return dict(
@@ -371,6 +386,27 @@ class Trainer:
             **self._step_kwargs(self.val_data),
         )
 
+    def _run_chunk(self, rng: jax.Array, num_steps: int):
+        """One compiled chunk of train steps, dispatched to the per-shard
+        data-parallel pipeline when a mesh is present (global-index sampling
+        on a batch-sharded dataset makes XLA all-gather the whole dataset
+        every step — the scaling killer ``train_chunk_dp`` avoids)."""
+        kwargs = self._step_kwargs(self.train_data)
+        if self.mesh is not None:
+            batch = kwargs.pop("batch_size")
+            return train_chunk_dp(
+                self.state,
+                self._train_h,
+                rng,
+                mesh=self.mesh,
+                num_steps=num_steps,
+                per_device_batch=batch // self.mesh.shape["data"],
+                **kwargs,
+            )
+        return train_chunk(
+            self.state, self._train_h, rng, num_steps=num_steps, **kwargs
+        )
+
     def fit(self, num_epochs: Optional[int] = None, start_epoch: int = 0):
         """Train; ``start_epoch`` resumes mid-schedule (per-epoch RNG streams
         are keyed by absolute epoch, so a resumed run replays the identical
@@ -391,18 +427,14 @@ class Trainer:
             while batch_idx < steps:
                 n = min(chunk, steps - batch_idx)
                 t0 = time.time()
-                self.state, m = train_chunk(
-                    self.state,
-                    self._train_h,
-                    jax.random.fold_in(epoch_rng, batch_idx),
-                    num_steps=n,
-                    **self._step_kwargs(self.train_data),
+                self.state, m = self._run_chunk(
+                    jax.random.fold_in(epoch_rng, batch_idx), n
                 )
                 batch_idx += n
                 stats = jax.device_get(
                     jnp.concatenate([jnp.reshape(m["loss_sum"], (1,)), m["split_sum"]])
                 )
-                total_loss = float(stats[0])
+                total_loss += float(stats[0])
                 ms_per_batch = (time.time() - t0) * 1000 / n
                 cur = float(stats[0]) / n
                 split = [float(v) / n for v in stats[1:]]
@@ -434,9 +466,10 @@ class Trainer:
             val_nmse = float(jax.device_get(val["nmse"]))
             history.append({"split": val_loss, "nmse": val_nmse})
             if self.metrics_writer is not None:
-                # Reference scalar set (Loss/train, Loss/val, Loss/val1..5).
+                # Reference scalar set (Loss/train, Loss/val, Loss/val1..5);
+                # Loss/train is the mean train loss over ALL steps this epoch.
                 self.metrics_writer.log_epoch(
-                    epoch, float(jax.device_get(total_loss)), val_nmse, val_loss
+                    epoch, total_loss / steps, val_nmse, val_loss
                 )
             if (
                 tc.checkpoint_every_epochs

@@ -158,10 +158,20 @@ def main():
             steps_per_chunk=args.steps_per_chunk,
             reps=args.reps,
         )
-        base = rows[0]["samples_per_s"] if rows else row["samples_per_s"]
-        row["efficiency_vs_1dev"] = round(
-            row["samples_per_s"] / (row["devices"] * base), 3
+        # Per-device baseline from the smallest measured count: efficiency is
+        # (samples/s per device) / (baseline samples/s per device), so a run
+        # whose --device-counts omits 1 still reports 1.0 for perfect weak
+        # scaling instead of 1/d.
+        if rows:
+            base_per_dev = rows[0]["samples_per_s"] / rows[0]["devices"]
+        else:
+            base_per_dev = row["samples_per_s"] / row["devices"]
+        key = (
+            "efficiency_vs_1dev"
+            if counts[0] == 1
+            else f"efficiency_vs_{counts[0]}dev"
         )
+        row[key] = round(row["samples_per_s"] / (row["devices"] * base_per_dev), 3)
         rows.append(row)
         print(json.dumps(row))
 
