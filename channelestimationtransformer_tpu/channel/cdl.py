@@ -158,6 +158,44 @@ class CDLModel:
     def wavelength(self) -> float:
         return SPEED_OF_LIGHT / self.carrier_frequency
 
+    @staticmethod
+    def calibrated(ue_speed_kmh: float = 5.5) -> "CDLModel":
+        """The parity-calibrated configuration (see DESIGN.md §NMSE parity).
+
+        The reference's committed generator (75-symbol slots, 1.6 kHz; see the
+        class default) has normalized Doppler fd*T = 0.49 at its nominal
+        30 km/h — slot-to-slot decorrelated, unlearnable, and inconsistent
+        with the committed training logs (``FullPrecision/Figures/SNR.txt``:
+        a from-scratch model reaches val NMSE 0.067 after ONE epoch, which
+        requires lag-5 correlation >= 0.97). The generator that produced the
+        original (un-committed) datasets evidently used a different slot
+        period / mobility.
+
+        Calibration, from the two observables the reference left behind:
+
+        1. Slot geometry from the stored sample ``MimoSimulation/channel.pickle``
+           (produced by ``PlotChannel.py``): one sample every 14 OFDM symbols
+           of a (fft 16 + cp 6)/1.92 MHz grid -> slot period 160.42 us.
+           At that period our generated data reproduces the pickle's measured
+           mean-removed lag correlation curve (lag 1/2/3/5/10 =
+           0.86/0.50/0.11/0.48/0.13 vs the pickle's 0.87/0.56/0.30/0.61/0.22,
+           including the oscillatory lag-5 bump) and its Hankel effective
+           rank (4-6 at 99.99% energy, 30-slot windows).
+        2. UE speed fitted to the training logs: the per-SNR ensemble Wiener
+           (optimal-linear) prediction bound of our generated data matches
+           the reference's final SNR-sweep table (0.0282/0.0188/0.0195/
+           0.0128/0.0074 at SNR 12..20) to within +-1 dB at ~5.5 km/h, while
+           30 km/h is ~8 dB off (see experiments/calibrate_channel.py).
+
+        Everything else (CDL-B table, 28 GHz, 64x2 arrays, beam sweep) is the
+        reference's physics unchanged.
+        """
+        slot_period = 14.0 * (16 + 6) / (16 * 120e3)  # 160.42 us
+        return CDLModel(
+            sampling_frequency=1.0 / slot_period,
+            ue_speed_ms=ue_speed_kmh / 3.6,
+        )
+
 
 @partial(jax.jit, static_argnames=("model", "batch_size", "num_slots"))
 def generate_cdl_channel(

@@ -140,6 +140,12 @@ class TrainConfig:
     seed: int = 0
     steps_per_epoch: int = 226  # reference: 226 batches/epoch at batch 256
     warmup_steps: int = 1000  # linear LR warmup (0 = reference plain cosine)
+    # "warmup_cosine" (default) or "constant". The reference's committed
+    # SNR-sweep logs train with a CONSTANT lr 1e-3 for all 50 epochs
+    # (FullPrecision/Figures/SNR.txt: every `| lr` field is 1.000000e-03),
+    # despite config.py nominally specifying cosine annealing — use
+    # "constant" when replicating those runs.
+    schedule: str = "warmup_cosine"
     checkpoint_every_epochs: int = 100
     log_every: int = 22  # ~len/10 per the reference logging cadence
     checkpoint_dir: str = "weights"

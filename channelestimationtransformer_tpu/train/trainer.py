@@ -46,6 +46,10 @@ def make_schedule(train_cfg: TrainConfig):
     annealing, ``FullPrecision/QuantizationAwareTraining.py:179``; optional
     linear warmup for from-scratch post-norm stability)."""
     total = max(train_cfg.num_epochs, 1) * train_cfg.steps_per_epoch
+    if getattr(train_cfg, "schedule", "warmup_cosine") == "constant":
+        # The reference's committed SNR-sweep runs hold lr constant at 1e-3
+        # (FullPrecision/Figures/SNR.txt `| lr` fields) — replication mode.
+        return optax.constant_schedule(train_cfg.lr)
     warmup = min(train_cfg.warmup_steps, max(total // 10, 1))
     if warmup >= total:
         # optax's warmup-cosine needs decay_steps > warmup_steps.

@@ -53,6 +53,47 @@ def time_fn(fn: Callable, *args, warmup: int = 20, reps: int = 100):
     return float(np.mean(times)), float(np.std(times))
 
 
+def time_fn_amortized(
+    fn: Callable, *args, inner: int = 20, warmup: int = 3, reps: int = 10
+):
+    """Mean/std wall ms of ONE ``fn(*args)`` invocation, measured by chaining
+    ``inner`` data-dependent invocations inside a single compiled program.
+
+    ``time_fn`` pays one tunnel dispatch RTT (~45 ms on the axon runtime) per
+    rep — it measures end-to-end dispatch latency, which swamps sub-10 ms
+    kernels (the failure mode the round-1 ``runtime.json`` exhibited:
+    seq_len=75 "faster" than seq_len=25, std > mean). Here each scan
+    iteration's carry (the first argument) is perturbed by a negligible
+    scalar derived from the previous output, so XLA can neither batch nor CSE
+    the invocations; the whole chain is timed through the value-fetch barrier
+    and divided by ``inner`` — on-device latency, dispatch amortized away.
+
+    The first argument must be an array (or pytree of arrays) whose shape the
+    chain can carry; remaining args are closed over.
+    """
+    import jax.numpy as jnp
+
+    def chained(x0, *rest):
+        def body(carry, _):
+            out = fn(carry, *rest)
+            dep = jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]) * 1e-30
+            new = jax.tree.map(lambda a: a + dep.astype(a.dtype), carry)
+            return new, None
+
+        final, _ = jax.lax.scan(body, x0, None, length=inner)
+        return final
+
+    run = jax.jit(chained)
+    for _ in range(warmup):
+        _force(run(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(run(*args))
+        times.append((time.perf_counter() - t0) * 1000 / inner)
+    return float(np.mean(times)), float(np.std(times))
+
+
 def throughput(fn: Callable, *args, batch: int, warmup: int = 5, reps: int = 50):
     """samples/s/chip for a batched step fn."""
     mean_ms, _ = time_fn(fn, *args, warmup=warmup, reps=reps)

@@ -73,6 +73,15 @@ def parse_args():
                         "FreqPreMatlab.py). Lower = smoother/more predictable "
                         "channel (the reference's stored pickle is nearly "
                         "AR-perfect)")
+    p.add_argument("--calibrated", action="store_true",
+                   help="use CDLModel.calibrated(): the parity-calibrated "
+                        "slot period (160.42 us, the stored channel.pickle's "
+                        "geometry) + fitted UE speed (--ue-speed-kmh, default "
+                        "5.5 in this mode). See experiments/calibrate_channel.py")
+    p.add_argument("--lr-schedule", choices=["warmup_cosine", "constant"],
+                   default="warmup_cosine",
+                   help="'constant' replicates the reference SNR-sweep runs "
+                        "(lr held at 1e-3, FullPrecision/Figures/SNR.txt)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="weights")
     p.add_argument("--tag", type=str, default="")
@@ -108,6 +117,7 @@ def main():
         weight_decay=args.weight_decay,
         steps_per_epoch=args.steps_per_epoch,
         seed=args.seed,
+        schedule=args.lr_schedule,
     )
     # Reference model-name line (parsed by Figures/parse.py).
     name = (
@@ -115,7 +125,8 @@ def main():
         f"_ll_{cfg.label_len}_pl_{cfg.pred_len}_f_{cfg.factor}_dm_{cfg.d_model}"
         f"_nh_{cfg.n_heads}_el_{list(cfg.e_layers)}_dl_{cfg.d_layers}"
         f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
-        + (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else "")
+        + ("_cal" if args.calibrated else
+           (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else ""))
         + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
         + ("_prenorm" if args.pre_norm else "")
         + (f"_{args.tag}" if args.tag else "")
@@ -126,8 +137,12 @@ def main():
     t0 = time.time()
     key = jax.random.key(args.seed + 100)
     k1, k2 = jax.random.split(key)
-    cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols,
-                   ue_speed_ms=args.ue_speed_kmh / 3.6)
+    if args.calibrated:
+        v = args.ue_speed_kmh if args.ue_speed_kmh != 30.0 else 5.5
+        cdl = CDLModel.calibrated(ue_speed_kmh=v)
+    else:
+        cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols,
+                       ue_speed_ms=args.ue_speed_kmh / 3.6)
     train_ds = make_window_dataset(
         k1, model=cdl, num_samples=args.train_samples,
         num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
