@@ -197,6 +197,38 @@ class CDLModel:
         )
 
 
+def add_channel_args(parser) -> None:
+    """Register the shared channel-selection CLI flags on an argparse parser
+    (used by every experiment driver)."""
+    parser.add_argument(
+        "--slot-symbols", type=int, default=75,
+        help="OFDM symbols per sampled slot. 75 = the committed reference "
+             "generator (GenerateChannelsFreqPreMatlab.py:44); ignored with "
+             "--calibrated")
+    parser.add_argument(
+        "--ue-speed-kmh", type=float, default=None,
+        help="UE mobility (committed reference config: 30). Defaults to 30, "
+             "or to the fitted 5.5 km/h under --calibrated")
+    parser.add_argument(
+        "--calibrated", action="store_true",
+        help="use CDLModel.calibrated(): slot period 160.42 us (the stored "
+             "channel.pickle geometry) + fitted UE speed — the NMSE-parity "
+             "configuration (see experiments/calibrate_channel.py)")
+
+
+def cdl_from_args(args) -> "CDLModel":
+    """Build the CDLModel an experiment driver asked for (see
+    :func:`add_channel_args`)."""
+    if getattr(args, "calibrated", False):
+        v = args.ue_speed_kmh if getattr(args, "ue_speed_kmh", None) else 5.5
+        return CDLModel.calibrated(ue_speed_kmh=v)
+    v = args.ue_speed_kmh if getattr(args, "ue_speed_kmh", None) else 30.0
+    return CDLModel(
+        sampling_frequency=120e3 / getattr(args, "slot_symbols", 75),
+        ue_speed_ms=v / 3.6,
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "batch_size", "num_slots"))
 def generate_cdl_channel(
     key: jax.Array,

@@ -29,70 +29,93 @@ NEG_INF = -1e30
 
 
 def _attn_kernel_small(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
-                       l_q: int, l_k: int):
-    """Whole-problem-in-VMEM kernel: one grid cell per (b*h)."""
-    q = q_ref[0].astype(jnp.float32)  # [Lq, E]
-    k = k_ref[0].astype(jnp.float32)  # [Lk, E]
-    v = v_ref[0].astype(jnp.float32)  # [Lk, D]
+                       l_q: int, l_k: int, group: int):
+    """Whole-problem-in-VMEM kernel: one grid cell per ``group`` (b*h) pairs.
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Lq, Lk]
+    The flagship workload is 2048 tiny heads (L<=90, E=16); one program per
+    head drowns in per-cell overhead (~1.3 us x 2048 measured in round 1 —
+    the 0.6-0.7x rows of perf_study.json). Grouping G heads per cell
+    amortizes that overhead G-fold while each head's [L, L] scores still
+    never leave VMEM. The head loop is Python-unrolled (Mosaic has no batched
+    dot), so each iteration is a straight MXU matmul -> VPU softmax -> MXU
+    matmul chain the compiler can software-pipeline.
+    """
+    for g in range(group):
+        q = q_ref[g].astype(jnp.float32)  # [Lq, E]
+        k = k_ref[g].astype(jnp.float32)  # [Lk, E]
+        v = v_ref[g].astype(jnp.float32)  # [Lk, D]
 
-    # Mask the zero-padding (and the causal triangle).
-    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    mask = col < l_k
-    if causal:
-        mask = mask & (col <= row)
-    scores = jnp.where(mask, scores, NEG_INF)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Lq, Lk]
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+        # Mask the zero-padding (and the causal triangle).
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = col < l_k
+        if causal:
+            mask = mask & (col <= row)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / denom
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[g] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale"))
-def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None):
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "group"))
+def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
+                  group: int = 8):
     """Fused multi-head attention.
 
     Args/returns in the model's ``[B, L, H, E]`` layout (matching
-    ``models/attention.py``). Internally runs one Pallas program per (B, H).
+    ``models/attention.py``). Internally runs one Pallas program per
+    ``group`` of (B, H) pairs (see ``_attn_kernel_small``); ``group`` is
+    clamped to a divisor of B*H.
     """
     b, l_q, h, e = q.shape
     l_k = k.shape[1]
     d = v.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(e)
 
+    # VMEM budget: each head holds padded [Lq, Lk] f32 scores plus q/k/v/o
+    # tiles; shrink the group for long sequences (they amortize overhead by
+    # compute volume instead).
+    bh = b * h
+    g = group
+    while g > 1 and (g * l_q * max(l_k, 128) * 4 > 4 * 1024 * 1024 or bh % g):
+        g //= 2
+    g = max(g, 1)
+
     # [B, L, H, E] -> [B*H, L, E]
-    qh = jnp.swapaxes(q, 1, 2).reshape(b * h, l_q, e)
-    kh = jnp.swapaxes(k, 1, 2).reshape(b * h, l_k, e)
-    vh = jnp.swapaxes(v, 1, 2).reshape(b * h, l_k, d)
+    qh = jnp.swapaxes(q, 1, 2).reshape(bh, l_q, e)
+    kh = jnp.swapaxes(k, 1, 2).reshape(bh, l_k, e)
+    vh = jnp.swapaxes(v, 1, 2).reshape(bh, l_k, d)
 
     kernel = functools.partial(
-        _attn_kernel_small, scale=scale, causal=causal, l_q=l_q, l_k=l_k
+        _attn_kernel_small, scale=scale, causal=causal, l_q=l_q, l_k=l_k,
+        group=g,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(bh // g,),
         in_specs=[
-            pl.BlockSpec((1, l_q, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_k, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, l_q, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, l_k, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, l_k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, l_q, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (g, l_q, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, l_q, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, l_q, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * l_q * l_k * (e + d),
-            bytes_accessed=4 * b * h * (l_q * e + l_k * e + l_k * d + l_q * d),
-            transcendentals=b * h * l_q * l_k,
+            flops=2 * bh * l_q * l_k * (e + d),
+            bytes_accessed=4 * bh * (l_q * e + l_k * e + l_k * d + l_q * d),
+            transcendentals=bh * l_q * l_k,
         ),
     )(qh, kh, vh)
 

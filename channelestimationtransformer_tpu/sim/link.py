@@ -5,10 +5,14 @@ Reference: ``MimoSimulation/KerasFullSimulation.py:243-317`` (Sionna Keras
 model: LDPC + QAM + ZF precoding + LS/perfect CSI + LMMSE + BER via ``sim_ber``)
 and ``MimoSimulation/Predict.py:88-135`` (channel-predictor-in-the-loop).
 
-Differences, documented per SURVEY §7.2 step 10: the link here is uncoded
-(no LDPC — the reference relies on Sionna's; coded BER can be layered on) and
-frequency-flat (the reference's ``fft_size=1`` datasets are flat too). The
-whole Monte-Carlo BER loop is one jitted program with RNG keys.
+The reference model's two run-time switches are first-class here too
+(``KerasFullSimulation.py:200-317``): ``csi="perfect"|"ls"`` (genie channel
+at the receiver vs least-squares estimation from Kronecker-style orthogonal
+pilot slots) and ``domain="freq"|"time"`` (flat per-subcarrier channel vs the
+full OFDM modulate -> tapped time channel -> demodulate chain from
+:mod:`.ofdm`). FEC is in-framework (:mod:`.coding` conv/Viterbi,
+:mod:`.ldpc` QC-LDPC) instead of Sionna's 5G LDPC — delta documented in
+DESIGN.md. The whole Monte-Carlo BER loop is one jitted program with RNG keys.
 
 The interesting capability is :func:`simulate_ber` with ``h_precode != h_true``:
 precoding on a *predicted* channel while transmitting over the true one —
@@ -35,7 +39,94 @@ class LinkConfig:
     n_streams: int = 2  # spatial streams (== UE antennas here)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_symbols"))
+def _transmit(
+    key: jax.Array,
+    x_freq: jnp.ndarray,
+    h_true: jnp.ndarray,
+    noise_var,
+    domain: str,
+) -> jnp.ndarray:
+    """Send ``x_freq [B, n_tx, n_sym, F]`` over ``h_true [B, n_rx, n_tx]``.
+
+    ``domain="freq"``: per-subcarrier multiplication (the flat-channel model).
+    ``domain="time"``: the reference's time branch
+    (``KerasFullSimulation.py:253-276``): OFDM-modulate each symbol (CP =
+    F//4), run the tapped time channel (flat channel = one tap), add the AWGN
+    in the *time* domain, demodulate. With CP >= delay spread the two
+    branches agree exactly — pinned by tests/test_coding_ofdm.py.
+
+    Returns received ``[B, n_rx, n_sym, F]``.
+    """
+    from .ofdm import ofdm_demodulate, ofdm_modulate
+
+    kr, ki = jax.random.split(key)
+    if domain == "freq":
+        y = jnp.einsum("brt,btnf->brnf", h_true, x_freq)
+        noise = jnp.sqrt(noise_var / 2) * (
+            jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
+        )
+        return y + noise
+    if domain != "time":
+        raise ValueError(f"unknown domain {domain!r}")
+    f = x_freq.shape[-1]
+    cp = max(f // 4, 1)
+    x_time = ofdm_modulate(x_freq, cp)  # [B, n_tx, n_sym, cp+F]
+    # Flat MIMO channel: a single tap per (rx, tx) mixes antennas per time
+    # sample. (Multipath: replace with per-(rx,tx) apply_time_channel over a
+    # [B, n_rx, n_tx, K] tap tensor and sum over tx; cp >= K-1 keeps the
+    # frequency-domain equivalence.)
+    y_time = jnp.einsum("brt,btns->brns", h_true, x_time)
+    noise = jnp.sqrt(noise_var / 2) * (
+        jax.random.normal(kr, y_time.shape)
+        + 1j * jax.random.normal(ki, y_time.shape)
+    )
+    y_time = y_time + noise
+    return ofdm_demodulate(y_time, f, cp)
+
+
+def _receive_csi(
+    y: jnp.ndarray,
+    h_eff: jnp.ndarray,
+    n_pilot: int,
+    csi: str,
+):
+    """Split pilots/data and produce the receiver's effective-channel estimate.
+
+    ``y [B, n_rx, n_pilot + n_data_sym, F]``; pilot symbol ``s`` carried
+    stream ``s`` with an all-ones pilot (Kronecker-style orthogonal pilots,
+    the reference ResourceGrid's ``pilot_pattern="kronecker"``), so the LS
+    estimate is ``h_hat[..., s, f] = y_pilot[..., s, f] / 1`` per subcarrier
+    (Sionna ``LSChannelEstimator`` semantics, per resource element).
+
+    Returns (y_data ``[B, n_rx, n_data_sym, F]``, h_rx ``[B, F, n_rx, S]``).
+    """
+    from .estimation import ls_estimate
+
+    f = y.shape[-1]
+    if csi == "perfect":
+        h_rx = jnp.broadcast_to(
+            h_eff[:, None], (h_eff.shape[0], f, *h_eff.shape[1:])
+        )
+        return y, h_rx
+    if csi != "ls":
+        raise ValueError(f"unknown csi {csi!r}")
+    y_pilot = y[:, :, :n_pilot]  # [B, n_rx, S, F]
+    h_hat = ls_estimate(y_pilot, jnp.ones((), y.dtype))
+    h_rx = jnp.moveaxis(h_hat, 3, 1)  # [B, F, n_rx, S]
+    return y[:, :, n_pilot:], h_rx
+
+
+def _pilot_symbols(p: jnp.ndarray, n_streams: int) -> jnp.ndarray:
+    """Precoded orthogonal pilot block: symbol ``s`` sends stream ``s`` only.
+
+    ``p [B, n_tx, S]`` -> ``[B, n_tx, S(n_sym), 1(F)]``-broadcastable pilots:
+    the transmitted pilot for symbol s is the precoder column s (all-ones
+    pilot value), so the receiver sees ``h_eff[:, :, s]`` plus noise.
+    """
+    return jnp.swapaxes(p, 1, 2)[:, :, :, None].swapaxes(1, 2)  # [B,n_tx,S,1]
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_symbols", "csi", "domain"))
 def simulate_ber(
     key: jax.Array,
     h_true: jnp.ndarray,
@@ -43,6 +134,8 @@ def simulate_ber(
     ebno_db,
     cfg: LinkConfig = LinkConfig(),
     num_symbols: int = 64,
+    csi: str = "perfect",
+    domain: str = "freq",
 ):
     """Monte-Carlo BER for a batch of channels.
 
@@ -52,7 +145,15 @@ def simulate_ber(
                  (pass ``h_true`` for perfect CSI; pass a predictor's output
                  for the prediction-in-the-loop BER).
       ebno_db:   per-bit SNR in dB.
-      num_symbols: QAM symbols per stream per channel realization.
+      num_symbols: QAM symbols per stream per channel realization (= occupied
+                 subcarriers of one OFDM data symbol).
+      csi:       receiver channel knowledge: ``"perfect"`` genie effective
+                 channel, or ``"ls"`` least-squares from n_streams orthogonal
+                 pilot symbols (reference ``perfect_csi`` switch,
+                 ``KerasFullSimulation.py:200-231``).
+      domain:    ``"freq"`` flat per-subcarrier model or ``"time"`` full
+                 OFDM modulate/channel/demodulate chain (reference's
+                 time-domain branch).
 
     Returns: (ber, bits_total) — bit error rate and count.
     """
@@ -63,35 +164,39 @@ def simulate_ber(
     b = h_true.shape[0]
     bps = int(np.log2(cfg.qam_order))
     n_bits = cfg.n_streams * num_symbols * bps
+    n_pilot = cfg.n_streams if csi == "ls" else 0
 
     k_bits, k_noise = jax.random.split(key)
     bits = jax.random.bernoulli(k_bits, 0.5, (b, n_bits)).astype(jnp.float32)
 
-    # Map to symbols per stream: [B, n_streams, num_symbols].
+    # Map to one OFDM data symbol per stream: [B, n_streams, F=num_symbols].
     syms = qam_map(bits, cfg.qam_order).reshape(b, cfg.n_streams, num_symbols)
 
     # ZF precode on the (possibly predicted) channel.
     p = zf_precoder(h_precode)  # [B, n_tx, n_rx(=streams)]
-    x = jnp.einsum("bts,bsn->btn", p, syms)  # [B, n_tx, num_symbols]
+    x_data = jnp.einsum("bts,bsf->btf", p, syms)[:, :, None]  # [B,n_tx,1,F]
+    if n_pilot:
+        pil = jnp.broadcast_to(
+            _pilot_symbols(p, cfg.n_streams),
+            (b, p.shape[1], n_pilot, num_symbols),
+        )
+        x = jnp.concatenate([pil, x_data], axis=2)
+    else:
+        x = x_data
 
-    # True channel + AWGN. Es/N0 = Eb/N0 * bps (unit-energy constellation).
-    y = jnp.einsum("brt,btn->brn", h_true, x)
+    # Es/N0 = Eb/N0 * bps (unit-energy constellation).
     esno = 10.0 ** (jnp.asarray(ebno_db) / 10.0) * bps
-    # Noise power per rx: signal power spread over streams; precoder is unit
-    # power so symbol energy at TX is ~1/n_streams per stream.
     noise_var = 1.0 / esno
-    kr, ki = jax.random.split(k_noise)
-    noise = jnp.sqrt(noise_var / 2) * (
-        jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
-    )
-    y = y + noise
+    y = _transmit(k_noise, x, h_true, noise_var, domain)
 
-    # LMMSE equalization with the effective channel h_true @ p.
     h_eff = h_true @ p  # [B, n_rx, n_streams]
-    y_t = jnp.swapaxes(y, 1, 2)  # [B, num_symbols, n_rx]
-    x_hat = jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))(
-        y_t, h_eff
-    )  # [B, num_symbols, n_streams]
+    y_data, h_rx = _receive_csi(y, h_eff, n_pilot, csi)
+
+    # LMMSE equalization per subcarrier with the receiver's CSI.
+    y_f = y_data[:, :, 0].swapaxes(1, 2)  # [B, F, n_rx]
+    x_hat = jax.vmap(
+        jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))
+    )(y_f, h_rx)  # [B, F, n_streams]
     x_hat = jnp.swapaxes(x_hat, 1, 2).reshape(b, cfg.n_streams * num_symbols)
 
     bits_hat = qam_demap_hard(x_hat, cfg.qam_order).reshape(b, n_bits)
@@ -99,7 +204,7 @@ def simulate_ber(
     return errors / (b * n_bits), b * n_bits
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_symbols", "fec"))
+@partial(jax.jit, static_argnames=("cfg", "num_symbols", "fec", "csi", "domain"))
 def simulate_coded_ber(
     key: jax.Array,
     h_true: jnp.ndarray,
@@ -108,6 +213,8 @@ def simulate_coded_ber(
     cfg: LinkConfig = LinkConfig(),
     num_symbols: int = 64,
     fec: str = "conv",
+    csi: str = "perfect",
+    domain: str = "freq",
 ):
     """Coded BER/BLER with a selectable in-framework FEC.
 
@@ -155,20 +262,27 @@ def simulate_coded_ber(
 
     syms = qam_map(coded, cfg.qam_order).reshape(b, cfg.n_streams, num_symbols)
     p = zf_precoder(h_precode)
-    x = jnp.einsum("bts,bsn->btn", p, syms)
-    y = jnp.einsum("brt,btn->brn", h_true, x)
+    n_pilot = cfg.n_streams if csi == "ls" else 0
+    x_data = jnp.einsum("bts,bsf->btf", p, syms)[:, :, None]
+    if n_pilot:
+        pil = jnp.broadcast_to(
+            _pilot_symbols(p, cfg.n_streams),
+            (b, p.shape[1], n_pilot, num_symbols),
+        )
+        x = jnp.concatenate([pil, x_data], axis=2)
+    else:
+        x = x_data
     # Es/N0 accounts for the code rate: Eb refers to *information* bits.
     esno = 10.0 ** (jnp.asarray(ebno_db) / 10.0) * bps * 0.5
     noise_var = 1.0 / esno
-    kr, ki = jax.random.split(k_noise)
-    noise = jnp.sqrt(noise_var / 2) * (
-        jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
-    )
-    y = y + noise
+    y = _transmit(k_noise, x, h_true, noise_var, domain)
 
     h_eff = h_true @ p
-    y_t = jnp.swapaxes(y, 1, 2)
-    x_hat = jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))(y_t, h_eff)
+    y_data, h_rx = _receive_csi(y, h_eff, n_pilot, csi)
+    y_f = y_data[:, :, 0].swapaxes(1, 2)  # [B, F, n_rx]
+    x_hat = jax.vmap(
+        jax.vmap(lambda yy, hh: lmmse_equalize(yy, hh, noise_var))
+    )(y_f, h_rx)
     x_hat = jnp.swapaxes(x_hat, 1, 2).reshape(b, cfg.n_streams * num_symbols)
 
     llr = qam_llr(x_hat[..., None], cfg.qam_order, noise_var).reshape(b, n_coded)

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import (
+    add_channel_args,
+    cdl_from_args,
+)
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import (
     InformerConfig,
@@ -95,8 +98,7 @@ def main():
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--train-samples", type=int, default=4096)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    add_channel_args(p)
     p.add_argument("--models", nargs="+",
                    default=["rnn", "gru", "lstm", "transformer", "informer"])
     p.add_argument("--out", default="weights/comparison")
@@ -104,12 +106,12 @@ def main():
 
     cfg = InformerConfig(seq_len=25, label_len=10, pred_len=5)
     train_ds = make_window_dataset(
-        jax.random.key(0), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=args.train_samples,
+        jax.random.key(0), model=cdl_from_args(args), num_samples=args.train_samples,
         num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
         snr_db=args.train_snr,
     )
     val_ds = make_window_dataset(
-        jax.random.key(1), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=1024,
+        jax.random.key(1), model=cdl_from_args(args), num_samples=1024,
         num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len,
         snr_db=args.train_snr,
     )

@@ -70,6 +70,15 @@ def main():
                         "(n=648) + min-sum BP")
     p.add_argument("--horizon", type=int, default=4,
                    help="0-based slot of the prediction horizon to evaluate")
+    p.add_argument("--csi", choices=["perfect", "ls"], default="perfect",
+                   help="receiver channel knowledge: genie effective channel "
+                        "or pilot-based least squares (reference perfect_csi "
+                        "switch, KerasFullSimulation.py:200-231)")
+    p.add_argument("--domain", choices=["freq", "time"], default="freq",
+                   help="flat per-subcarrier model, or the OFDM modulate -> "
+                        "time channel -> demodulate branch")
+    p.add_argument("--calibrated", action="store_true",
+                   help="use the parity-calibrated channel (CDLModel.calibrated)")
     p.add_argument("--out", default="weights/e2e_results.json")
     args = p.parse_args()
 
@@ -79,8 +88,10 @@ def main():
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
     state, _, _ = load_checkpoint(args.checkpoint, state)
 
+    cdl = (CDLModel.calibrated() if args.calibrated
+           else CDLModel(sampling_frequency=120e3 / args.slot_symbols))
     ds = make_window_dataset(
-        jax.random.key(77), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=1024, num_slots=100,
+        jax.random.key(77), model=cdl, num_samples=1024, num_slots=100,
         seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
     )
     enc_in, dec_in, target = make_batch(jax.random.key(78), ds, args.batch, cfg.label_len)
@@ -98,7 +109,7 @@ def main():
 
     results = {"prediction_nmse": nmse, "ebno_db": args.ebno_db, "ber": {},
                "se": {}, "coded": bool(args.coded),
-               "fec": args.fec}
+               "fec": args.fec, "csi": args.csi, "domain": args.domain}
     if args.coded:
         results["bler"] = {}
     for name, h_pre in [("perfect", h_true), ("outdated", h_outdated),
@@ -111,12 +122,14 @@ def main():
                 ber, bler, _ = simulate_coded_ber(
                     jax.random.key(5), h_true, h_pre, float(ebno),
                     LinkConfig(qam_order=4), n_sym, fec=args.fec,
+                    csi=args.csi, domain=args.domain,
                 )
                 blers.append(float(bler))
             else:
                 ber, _ = simulate_ber(
                     jax.random.key(5), h_true, h_pre, float(ebno),
                     LinkConfig(qam_order=4), 128,
+                    csi=args.csi, domain=args.domain,
                 )
             bers.append(float(ber))
         se = float(jnp.mean(precoded_spectral_efficiency(h_true, h_pre, 100.0)))

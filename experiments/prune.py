@@ -24,7 +24,10 @@ from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
 import numpy as np
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import (
+    add_channel_args,
+    cdl_from_args,
+)
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.models import build_informer
@@ -52,8 +55,7 @@ def main():
     p.add_argument("--steps-per-epoch", type=int, default=226)
     p.add_argument("--snr", type=float, default=21.0)
     p.add_argument("--train-samples", type=int, default=8192)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    add_channel_args(p)
     p.add_argument("--out", default="weights")
     args = p.parse_args()
 
@@ -68,11 +70,11 @@ def main():
         print(f"Preloaded {args.checkpoint}", flush=True)
 
     train_ds = make_window_dataset(
-        jax.random.key(100), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=args.train_samples,
+        jax.random.key(100), model=cdl_from_args(args), num_samples=args.train_samples,
         num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
     )
     val_ds = make_window_dataset(
-        jax.random.key(101), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=2048,
+        jax.random.key(101), model=cdl_from_args(args), num_samples=2048,
         num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
     )
     kw = dict(batch_size=tc.batch_size, label_len=cfg.label_len,

@@ -26,7 +26,10 @@ from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
 import numpy as np
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import (
+    add_channel_args,
+    cdl_from_args,
+)
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.models import build_informer
@@ -51,8 +54,7 @@ def main():
     p.add_argument("--wl-min", type=int, default=4)
     p.add_argument("--wl-max", type=int, default=15)
     p.add_argument("--val-samples", type=int, default=2048)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    add_channel_args(p)
     p.add_argument("--out", default="weights/ptq_results.json")
     args = p.parse_args()
 
@@ -64,7 +66,7 @@ def main():
     print(f"Loaded checkpoint (epoch {epoch})")
 
     val_ds = make_window_dataset(
-        jax.random.key(123), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=args.val_samples,
+        jax.random.key(123), model=cdl_from_args(args), num_samples=args.val_samples,
         num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
     )
     kw = dict(

@@ -43,7 +43,8 @@ def main():
     p.add_argument("--train-samples", type=int, default=65536)
     p.add_argument("--log", default=None)
     p.add_argument("extra", nargs="*", help="extra args forwarded to train_informer")
-    args = p.parse_args()
+    args, unknown = p.parse_known_args()
+    args.extra = list(args.extra) + unknown  # forward unrecognized flags too
 
     log_path = args.log or os.path.join("weights", f"sweep_{args.sweep}.txt")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)

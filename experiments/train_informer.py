@@ -129,6 +129,7 @@ def main():
            (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else ""))
         + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
         + ("_prenorm" if args.pre_norm else "")
+        + ("_nodistil" if args.no_distil else "")
         + (f"_{args.tag}" if args.tag else "")
     )
     print(f"Model_name:  {name}", flush=True)

@@ -27,7 +27,10 @@ import jax
 from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import (
+    add_channel_args,
+    cdl_from_args,
+)
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.models.informer_lsq import build_informer_lsq
@@ -49,8 +52,7 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--steps-per-epoch", type=int, default=226)
     p.add_argument("--train-samples", type=int, default=8192)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    add_channel_args(p)
     p.add_argument("--out", default="weights")
     args = p.parse_args()
 
@@ -62,11 +64,11 @@ def main():
         model = build_informer_lsq(cfg, nbits=nbits, fibbinary=args.fibbinary)
 
         train_ds = make_window_dataset(
-            jax.random.key(100), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=args.train_samples,
+            jax.random.key(100), model=cdl_from_args(args), num_samples=args.train_samples,
             num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
         )
         val_ds = make_window_dataset(
-            jax.random.key(101), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=2048,
+            jax.random.key(101), model=cdl_from_args(args), num_samples=2048,
             num_slots=100, seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
         )
         trainer = Trainer(model=model, cfg=cfg, train_cfg=tc,

@@ -26,7 +26,10 @@ from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
 import numpy as np
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import (
+    add_channel_args,
+    cdl_from_args,
+)
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.data.windows import sample_windows
@@ -42,8 +45,7 @@ def main():
     p.add_argument("--snr", type=float, default=21.0)
     p.add_argument("--block", type=int, default=5)
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
+    add_channel_args(p)
     p.add_argument("--out", default="weights/streaming_results.json")
     args = p.parse_args()
 
@@ -56,7 +58,7 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     ds = make_window_dataset(
-        jax.random.key(7), model=CDLModel(sampling_frequency=120e3 / args.slot_symbols), num_samples=1024, num_slots=100,
+        jax.random.key(7), model=cdl_from_args(args), num_samples=1024, num_slots=100,
         seq_len=95, pred_len=args.block, snr_db=args.snr,
     )
     clean, noisy, _, _ = sample_windows(jax.random.key(8), ds, args.batch)

@@ -23,7 +23,7 @@ from channelestimationtransformer_tpu.ops.quant import (
 )
 
 
-def _mha_interpret(q, k, v, causal=False):
+def _mha_interpret(q, k, v, causal=False, group=2):
     """mha_attention with interpret=True plumbed in (CPU testing)."""
     import math
 
@@ -31,22 +31,25 @@ def _mha_interpret(q, k, v, causal=False):
     l_k = k.shape[1]
     d = v.shape[-1]
     scale = 1.0 / math.sqrt(e)
-    qh = jnp.swapaxes(q, 1, 2).reshape(b * h, l_q, e)
-    kh = jnp.swapaxes(k, 1, 2).reshape(b * h, l_k, e)
-    vh = jnp.swapaxes(v, 1, 2).reshape(b * h, l_k, d)
+    bh = b * h
+    assert bh % group == 0
+    qh = jnp.swapaxes(q, 1, 2).reshape(bh, l_q, e)
+    kh = jnp.swapaxes(k, 1, 2).reshape(bh, l_k, e)
+    vh = jnp.swapaxes(v, 1, 2).reshape(bh, l_k, d)
     kernel = functools.partial(
-        _attn_kernel_small, scale=scale, causal=causal, l_q=l_q, l_k=l_k
+        _attn_kernel_small, scale=scale, causal=causal, l_q=l_q, l_k=l_k,
+        group=group,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(bh // group,),
         in_specs=[
-            pl.BlockSpec((1, l_q, e), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l_k, e), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l_k, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l_q, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l_k, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l_k, d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, l_q, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, l_q, d), q.dtype),
+        out_specs=pl.BlockSpec((group, l_q, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, l_q, d), q.dtype),
         interpret=True,
     )(qh, kh, vh)
     return jnp.swapaxes(out.reshape(b, h, l_q, d), 1, 2)

@@ -111,3 +111,46 @@ def test_ber_decreases_with_snr_and_perfect_csi_beats_noisy():
     ber_mismatch, _ = simulate_ber(key, h, h_noisy, 6.0, cfg16, 256)
     assert float(ber_mismatch) > float(ber_perfect), (
         float(ber_perfect), float(ber_mismatch))
+
+
+def test_time_domain_branch_matches_freq_statistics():
+    """domain='time' (OFDM modulate -> tapped channel -> demodulate,
+    reference KerasFullSimulation.py:253-276) is statistically equivalent to
+    the flat frequency-domain model when the CP covers the delay spread."""
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(
+        (rng.normal(size=(64, 2, 8)) + 1j * rng.normal(size=(64, 2, 8))).astype(np.complex64)
+        / np.sqrt(2)
+    )
+    key = jax.random.key(1)
+    ber_f, _ = simulate_ber(key, h, h, 4.0, LinkConfig(), 128, domain="freq")
+    ber_t, _ = simulate_ber(key, h, h, 4.0, LinkConfig(), 128, domain="time")
+    # Same channel/bits, independent noise draws: BERs agree statistically.
+    assert abs(float(ber_f) - float(ber_t)) < 0.01, (float(ber_f), float(ber_t))
+
+    # Both must show the SNR trend.
+    ber_t_hi, _ = simulate_ber(key, h, h, 15.0, LinkConfig(), 128, domain="time")
+    assert float(ber_t_hi) < float(ber_t)
+
+
+def test_ls_estimation_degrades_gracefully():
+    """csi='ls' (pilot-based least squares, reference perfect_csi switch,
+    KerasFullSimulation.py:200-231): worse than genie CSI at low SNR, and
+    converging toward it as pilots get cleaner."""
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(
+        (rng.normal(size=(64, 2, 8)) + 1j * rng.normal(size=(64, 2, 8))).astype(np.complex64)
+        / np.sqrt(2)
+    )
+    key = jax.random.key(2)
+    cfg16 = LinkConfig(qam_order=16)
+    ber_genie, _ = simulate_ber(key, h, h, 6.0, cfg16, 256, csi="perfect")
+    ber_ls, _ = simulate_ber(key, h, h, 6.0, cfg16, 256, csi="ls")
+    assert float(ber_ls) > float(ber_genie), (float(ber_ls), float(ber_genie))
+    # At high SNR the LS estimate is nearly exact: both near zero.
+    ber_ls_hi, _ = simulate_ber(key, h, h, 18.0, cfg16, 256, csi="ls")
+    assert float(ber_ls_hi) < 0.01
+    # LS composes with the time-domain branch.
+    ber_ls_t, _ = simulate_ber(key, h, h, 6.0, cfg16, 256, csi="ls",
+                               domain="time")
+    assert abs(float(ber_ls_t) - float(ber_ls)) < 0.02
