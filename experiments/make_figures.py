@@ -157,6 +157,47 @@ def main():
         fig.savefig(out, dpi=150)
         made.append(out)
 
+    # QAT progressive-quantization curves: fraction vs NMSE per schedule x
+    # codebook (reference PaperFigures/QAT/plotStepsizeStrategies.py).
+    qat_files = sorted(glob.glob(os.path.join(args.weights_dir, "qat_*.json")))
+    if qat_files:
+        fig, ax = plt.subplots(figsize=(5.5, 3.5))
+        for path in qat_files:
+            with open(path) as f:
+                curve = json.load(f)
+            label = os.path.basename(path)[len("qat_"):-len(".json")]
+            fr = [row["fraction"] for row in curve]
+            nm = [10 * np.log10(row["val_nmse"]) for row in curve]
+            ax.plot(fr, nm, "o-", ms=3, label=label)
+        ax.set_xlabel("quantized weight fraction")
+        ax.set_ylabel("NMSE [dB]")
+        ax.legend(fontsize=6)
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        out = os.path.join(args.out, "qat_fraction_curves.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
+    # Parity vs reference: ours / reference / Wiener-oracle SNR curves.
+    snr_tab = os.path.join(args.weights_dir, "snr_table.json")
+    if os.path.exists(snr_tab):
+        with open(snr_tab) as f:
+            tab = json.load(f)
+        snrs = sorted(int(k) for k in tab if tab[k].get("ref"))
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        ax.plot(snrs, [10 * np.log10(tab[str(s)]["split_mean"]) for s in snrs],
+                "o-", label="ours (50 ep from scratch)")
+        ax.plot(snrs, [10 * np.log10(tab[str(s)]["ref"]) for s in snrs],
+                "s--", label="reference (A100 logs)")
+        ax.set_xlabel("train/val SNR [dB]")
+        ax.set_ylabel("val NMSE [dB]")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        out = os.path.join(args.out, "parity_snr.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
     # Loss curves from any text logs given.
     parsed = {}
     for logpath in args.logs:
