@@ -159,3 +159,34 @@ def test_prob_attention_trains():
     trainer, _ = _tiny_setup(attn="prob")
     history = trainer.fit(num_epochs=1)
     assert np.isfinite(history[-1]["split"]).all()
+
+
+def test_crash_resume_is_step_exact(tmp_path):
+    """Failure-recovery story (SURVEY §5.3): a run killed after epoch k and
+    resumed from its checkpoint replays the identical RNG streams (epoch-keyed)
+    and reaches bit-identical parameters to an uninterrupted run."""
+    from channelestimationtransformer_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    trainer_a, _ = _tiny_setup()
+    hist_a = trainer_a.fit(num_epochs=4)
+
+    # Interrupted run: 2 epochs, checkpoint, "crash", fresh process state,
+    # resume epochs 2..3.
+    trainer_b, _ = _tiny_setup()
+    trainer_b.fit(num_epochs=2)
+    path = save_checkpoint(trainer_b.state, str(tmp_path), "crash_", 2)
+
+    trainer_c, _ = _tiny_setup()
+    trainer_c.state, epoch, _ = load_checkpoint(path, trainer_c.state)
+    assert epoch == 2
+    hist_c = trainer_c.fit(num_epochs=4, start_epoch=2)
+
+    for a, c in zip(
+        jax.tree.leaves(trainer_a.state.params),
+        jax.tree.leaves(trainer_c.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert np.isclose(hist_a[-1]["nmse"], hist_c[-1]["nmse"])
