@@ -33,7 +33,7 @@ _rt_setup()
 import jax.numpy as jnp
 import numpy as np
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import cdl_from_args
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.data.windows import sample_windows
 
@@ -82,7 +82,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--snr", type=float, nargs="+", default=[12, 21])
     p.add_argument("--slot-symbols", type=int, default=14)
-    p.add_argument("--ue-speed-kmh", type=float, default=30.0)
+    p.add_argument("--ue-speed-kmh", type=float, default=None)
+    p.add_argument("--calibrated", action="store_true",
+                   help="use CDLModel.calibrated() (parity configuration)")
     p.add_argument("--order", type=int, default=30)
     p.add_argument("--windows", type=int, default=256)
     p.add_argument("--seq-len", type=int, default=90)
@@ -94,8 +96,7 @@ def main():
     for snr in args.snr:
         ds = make_window_dataset(
             jax.random.key(1234),
-            model=CDLModel(sampling_frequency=120e3 / args.slot_symbols,
-                           ue_speed_ms=args.ue_speed_kmh / 3.6),
+            model=cdl_from_args(args),
             num_samples=1024, num_slots=100,
             seq_len=args.seq_len, pred_len=args.pred_len, snr_db=snr,
         )
