@@ -4,7 +4,7 @@
 cd "$(dirname "$0")/.."
 mkdir -p experiments/artifacts
 python experiments/collect_results.py weights --tag r2cos || true
-for f in snr_table.json parity.json PARITY.md runtime.json \
+for f in snr_table.json parity.json PARITY_RESULTS.md runtime.json \
          lsq_results.json lsq_fibbinary_results.json ptq_results.json \
          e2e_results.json e2e_coded_conv.json e2e_coded_ldpc.json \
          e2e_ls.json e2e_time.json prune_results.json \

@@ -5,7 +5,8 @@ hyperparameter sweeps (seq_len, label_len, d_ff, d_model, attn, distil),
 each with dB deltas against the reference's committed A100 numbers
 (``/root/reference/FullPrecision/Figures/*.txt``, last "valid loss" per
 section). Emits ``snr_table.json``, ``parity.json`` and a markdown
-``PARITY.md``.
+``PARITY_RESULTS.md`` (the root ``PARITY.md`` is the component-inventory
+mapping).
 
 The compared metric is the reference's logged "valid loss" = the MEAN of the
 5-horizon ``NMSELossSplit`` (prediction-power-normalized quirk, SURVEY §7.4
@@ -198,7 +199,7 @@ def main():
                 f"{f'{d:+.2f}' if d is not None else '-'} |")
         lines.append("")
     md = "\n".join(lines)
-    with open(os.path.join(args.out_dir, "PARITY.md"), "w") as f:
+    with open(os.path.join(args.out_dir, "PARITY_RESULTS.md"), "w") as f:
         f.write(md)
     print(md)
 
