@@ -42,9 +42,12 @@ def main():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--train-samples", type=int, default=65536)
     p.add_argument("--log", default=None)
-    p.add_argument("extra", nargs="*", help="extra args forwarded to train_informer")
+    # Unrecognized flags are forwarded verbatim (in order) to train_informer.
+    # NOTE: no positional catch-all — argparse would strip flag *values* out
+    # of the unknown list ("--ue-speed-kmh 5" -> positional "5" + unknown
+    # "--ue-speed-kmh"), scrambling the forwarded command.
     args, unknown = p.parse_known_args()
-    args.extra = list(args.extra) + unknown  # forward unrecognized flags too
+    args.extra = unknown
 
     log_path = args.log or os.path.join("weights", f"sweep_{args.sweep}.txt")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
