@@ -130,23 +130,35 @@ def main():
               seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr)
 
     # pct is static: one compile per schedule fraction, and the partial-
-    # quantization edge cases (pct 0/1) stay Python-level branches.
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("pct",))
-    def qat_step(state, h, rng, pct):
-        k1, k2 = jax.random.split(rng)
-        state, metrics = train_step_impl(state, h, k1, **kw)
-        state = state.replace(
-            params=apply_weight_quant(state.params, settings, percentage=pct, key=k2)
-        )
-        return state, metrics
+    # quantization edge cases (pct 0/1) stay Python-level branches. A whole
+    # epoch of (train step -> post-step weight quantization) runs as ONE
+    # scanned program per dispatch — per-step dispatch (~45 ms tunnel RTT)
+    # made the schedule dispatch-bound (226x overhead per epoch).
+    @partial(jax.jit, donate_argnums=(0,),
+             static_argnames=("pct", "num_steps"))
+    def qat_epoch(state, h, rng, pct, num_steps):
+        def body(carry, step_key):
+            st = carry
+            k1, k2 = jax.random.split(step_key)
+            st, metrics = train_step_impl(st, h, k1, **kw)
+            st = st.replace(
+                params=apply_weight_quant(
+                    st.params, settings, percentage=pct, key=k2
+                )
+            )
+            return st, metrics["loss"] if "loss" in metrics else 0.0
+
+        keys = jax.random.split(rng, num_steps)
+        state, _ = jax.lax.scan(body, state, keys)
+        return state
 
     results = []
     rng = jax.random.key(3)
     for pct in schedule:
         for epoch in range(epochs_per_step):
-            for b in range(args.steps_per_epoch):
-                rng, sub = jax.random.split(rng)
-                state, metrics = qat_step(state, train_ds.h, sub, pct)
+            rng, sub = jax.random.split(rng)
+            state = qat_epoch(state, train_ds.h, sub, pct,
+                              args.steps_per_epoch)
         split = np.zeros(cfg.pred_len)
         nm = 0.0
         for i in range(8):
