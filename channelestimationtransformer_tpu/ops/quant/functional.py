@@ -140,10 +140,12 @@ def fixed_point_quantize_partial(
         take = jax.random.uniform(key, x.shape) < percentage
     else:
         raise ValueError(f"unknown partial rounding {rounding!r}")
-    if percentage >= 1.0:
-        take = jnp.ones_like(take)
-    elif percentage <= 0.0:
-        take = jnp.zeros_like(take)
+    # Edge guards as lax selects so ``percentage`` may be a traced scalar
+    # (the QAT driver runs the whole fraction schedule through ONE compiled
+    # program; Python branches here would force a recompile per fraction).
+    pct = jnp.asarray(percentage)
+    take = jnp.where(pct >= 1.0, jnp.ones_like(take),
+                     jnp.where(pct <= 0.0, jnp.zeros_like(take), take))
     out = jnp.where(take, q, x)
     if clamp:
         t_min, t_max = _fixed_bounds(wl, fl, symmetric)
@@ -203,10 +205,12 @@ def fibonacci_quantize_partial(
         take = jax.random.uniform(key, x.shape) < percentage
     else:
         raise ValueError(f"unknown partial rounding {rounding!r}")
-    if percentage >= 1.0:
-        take = jnp.ones_like(take)
-    elif percentage <= 0.0:
-        take = jnp.zeros_like(take)
+    # Edge guards as lax selects so ``percentage`` may be a traced scalar
+    # (the QAT driver runs the whole fraction schedule through ONE compiled
+    # program; Python branches here would force a recompile per fraction).
+    pct = jnp.asarray(percentage)
+    take = jnp.where(pct >= 1.0, jnp.ones_like(take),
+                     jnp.where(pct <= 0.0, jnp.zeros_like(take), take))
     out = jnp.where(take, q, x)
     if clamp:
         out = jnp.clip(out, float(cb.min()), float(cb.max()))

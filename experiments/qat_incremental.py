@@ -23,6 +23,7 @@ from functools import partial
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 
 from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
@@ -129,13 +130,12 @@ def main():
     kw = dict(batch_size=tc.batch_size, label_len=cfg.label_len,
               seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr)
 
-    # pct is static: one compile per schedule fraction, and the partial-
-    # quantization edge cases (pct 0/1) stay Python-level branches. A whole
-    # epoch of (train step -> post-step weight quantization) runs as ONE
-    # scanned program per dispatch — per-step dispatch (~45 ms tunnel RTT)
-    # made the schedule dispatch-bound (226x overhead per epoch).
-    @partial(jax.jit, donate_argnums=(0,),
-             static_argnames=("pct", "num_steps"))
+    # A whole epoch of (train step -> post-step weight quantization) runs as
+    # ONE scanned program per dispatch — per-step dispatch (~45 ms tunnel
+    # RTT) made the schedule dispatch-bound (226x overhead per epoch). pct
+    # is a TRACED scalar (the partial quantizers' edge guards are lax
+    # selects), so the whole 18-fraction schedule reuses one compilation.
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("num_steps",))
     def qat_epoch(state, h, rng, pct, num_steps):
         def body(carry, step_key):
             st = carry
@@ -157,7 +157,7 @@ def main():
     for pct in schedule:
         for epoch in range(epochs_per_step):
             rng, sub = jax.random.split(rng)
-            state = qat_epoch(state, train_ds.h, sub, pct,
+            state = qat_epoch(state, train_ds.h, sub, jnp.float32(pct),
                               args.steps_per_epoch)
         split = np.zeros(cfg.pred_len)
         nm = 0.0
