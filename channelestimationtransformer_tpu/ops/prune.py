@@ -37,13 +37,15 @@ def block_scores(w: jnp.ndarray, block: int = 4) -> jnp.ndarray:
 
 def block_magnitude_mask(w: jnp.ndarray, sparsity: float, block: int = 4) -> jnp.ndarray:
     """Boolean keep-mask with the 4x1 structured pattern at ``sparsity``."""
-    if w.ndim < 2 or sparsity <= 0.0:
+    if w.ndim < 2:
         return jnp.ones_like(w, dtype=bool)
     scores = block_scores(w, block)  # [nb, out]
     flat = scores.reshape(-1)
     k = jnp.asarray(sparsity * (flat.size - 1), jnp.int32)
     thr = jnp.sort(flat)[k]
-    keep_blocks = scores > thr  # [nb, out]
+    # sparsity may be a traced scalar (the prune driver runs the cubic ramp
+    # through one compiled program); the <=0 edge is a select, not a branch.
+    keep_blocks = (scores > thr) | (jnp.asarray(sparsity) <= 0.0)  # [nb, out]
     mat_shape = (w.size // w.shape[-1], w.shape[-1])
     keep = jnp.repeat(keep_blocks, block, axis=0)[: mat_shape[0]]
     return keep.reshape(w.shape)

@@ -19,6 +19,7 @@ from functools import partial
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 
 from channelestimationtransformer_tpu.core.runtime import setup as _rt_setup
 _rt_setup()
@@ -80,25 +81,33 @@ def main():
     kw = dict(batch_size=tc.batch_size, label_len=cfg.label_len,
               seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("sparsity",))
-    def prune_step(state, h, rng, sparsity):
-        state, metrics = train_step_impl(state, h, rng, **kw)
-        state = state.replace(params=apply_pruning(state.params, sparsity))
-        return state, metrics
+    # One scanned program for a whole epoch of (train step -> re-prune), with
+    # the ramp's sparsity as a TRACED scalar: per-step dispatch plus one
+    # recompile per sparsity level made the ramp compile/dispatch-bound.
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("num_steps",))
+    def prune_epoch(state, h, rng, sparsity, num_steps):
+        def body(st, step_key):
+            st, metrics = train_step_impl(st, h, step_key, **kw)
+            st = st.replace(params=apply_pruning(st.params, sparsity))
+            return st, metrics["loss"]
+
+        keys = jax.random.split(rng, num_steps)
+        state, _ = jax.lax.scan(body, state, keys)
+        return state
 
     total_steps = args.epochs * args.steps_per_epoch
     rng = jax.random.key(9)
     results = []
     for epoch in range(args.epochs):
-        # One static sparsity level per epoch (one compile each) along the
-        # cubic ramp over the first 60% of training.
+        # One sparsity level per epoch along the cubic ramp over the first
+        # 60% of training.
         sparsity = round(cubic_sparsity_schedule(
             epoch * args.steps_per_epoch, target=args.target_sparsity,
             start_step=0, end_step=int(total_steps * 0.6),
         ), 4)
-        for b in range(args.steps_per_epoch):
-            rng, sub = jax.random.split(rng)
-            state, metrics = prune_step(state, train_ds.h, sub, sparsity)
+        rng, sub = jax.random.split(rng)
+        state = prune_epoch(state, train_ds.h, sub, jnp.float32(sparsity),
+                            args.steps_per_epoch)
         split = np.zeros(cfg.pred_len)
         nm = 0.0
         for i in range(4):
