@@ -29,7 +29,7 @@ _rt_setup()
 import jax.numpy as jnp
 import numpy as np
 
-from channelestimationtransformer_tpu.channel.cdl import CDLModel
+from channelestimationtransformer_tpu.channel.cdl import add_channel_args, cdl_from_args
 from channelestimationtransformer_tpu.channel.dataset import make_window_dataset
 from channelestimationtransformer_tpu.core.config import InformerConfig, TrainConfig
 from channelestimationtransformer_tpu.data.windows import make_batch
@@ -60,8 +60,6 @@ def main():
     p.add_argument("--ebno-db", type=float, nargs="+",
                    default=[-4, -2, 0, 2, 4, 6, 8, 10])
     p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--slot-symbols", type=int, default=75,
-                   help="OFDM symbols per sampled slot (14 matches the reference's stored-pickle statistics; see train_informer.py)")
     p.add_argument("--coded", action="store_true",
                    help="coded link; the reference's LDPC-coded Sionna sim "
                         "analogue (sim/coding.py, sim/ldpc.py)")
@@ -77,9 +75,8 @@ def main():
     p.add_argument("--domain", choices=["freq", "time"], default="freq",
                    help="flat per-subcarrier model, or the OFDM modulate -> "
                         "time channel -> demodulate branch")
-    p.add_argument("--calibrated", action="store_true",
-                   help="use the parity-calibrated channel (CDLModel.calibrated)")
     p.add_argument("--out", default="weights/e2e_results.json")
+    add_channel_args(p)
     args = p.parse_args()
 
     cfg = InformerConfig()
@@ -88,8 +85,7 @@ def main():
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
     state, _, _ = load_checkpoint(args.checkpoint, state)
 
-    cdl = (CDLModel.calibrated() if args.calibrated
-           else CDLModel(sampling_frequency=120e3 / args.slot_symbols))
+    cdl = cdl_from_args(args)
     ds = make_window_dataset(
         jax.random.key(77), model=cdl, num_samples=1024, num_slots=100,
         seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=args.snr,
