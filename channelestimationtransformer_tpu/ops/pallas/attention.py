@@ -67,6 +67,42 @@ def _attn_kernel_small(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool
         o_ref[g] = o.astype(o_ref.dtype)
 
 
+def _attn_kernel_blhe(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      causal: bool, l_k: int, heads: int):
+    """Per-batch-element kernel in the model's native ``[B, L, H, E]`` layout.
+
+    One grid cell per batch element; all H heads of that element live in one
+    contiguous ``[L, H, E]`` VMEM slab (a [L, H*E] tile — e.g. 90x128 at the
+    flagship config, exactly one lane-dim tile). Eliminates the host-side
+    [B, L, H, E] -> [B*H, L, E] transposes the split-head wrapper pays
+    (4 materialized HBM copies ~= 0.5 ms at the flagship shape, more than
+    the attention itself).
+    """
+    for h in range(heads):
+        q = q_ref[0, :, h, :].astype(jnp.float32)  # [Lq, E]
+        k = k_ref[0, :, h, :].astype(jnp.float32)  # [Lk, E]
+        v = v_ref[0, :, h, :].astype(jnp.float32)  # [Lk, D]
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Lq, Lk]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = col < l_k
+        if causal:
+            mask = mask & (col <= row)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, h, :] = o.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "group"))
 def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
                   group: int = 8):
@@ -81,6 +117,35 @@ def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
     l_k = k.shape[1]
     d = v.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(e)
+
+    # Short-sequence fast path: operate directly on the [B, L, H, E] layout,
+    # one grid cell per batch element (see _attn_kernel_blhe). Only for
+    # whole-problem-in-VMEM sizes; long sequences take the split-head path.
+    if (
+        l_q == l_k
+        and d == e
+        and l_q * max(l_k, 128) * 4 * 2 + 3 * l_q * h * max(e, 128) * 4
+        <= 8 * 1024 * 1024
+    ):
+        kernel = functools.partial(
+            _attn_kernel_blhe, scale=scale, causal=causal, l_k=l_k, heads=h
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, l_q, h, e), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+            out_specs=pl.BlockSpec((1, l_q, h, e), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, l_q, h, d), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * l_q * l_k * (e + d),
+                bytes_accessed=4 * b * l_q * h * e * 4,
+                transcendentals=b * h * l_q * l_k,
+            ),
+        )(q, k, v)
 
     # VMEM budget: each head holds padded [Lq, Lk] f32 scores plus q/k/v/o
     # tiles; shrink the group for long sequences (they amortize overhead by

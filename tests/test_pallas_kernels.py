@@ -106,3 +106,34 @@ def test_pallas_fixed_kernel_logic_nearest():
     )(x, jnp.asarray([0], jnp.int32))
     ref = fixed_point_quantize(x, 8, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_attention_blhe_layout_matches_reference(causal):
+    """The layout-native ([B, L, H, E], per-batch-cell) kernel path."""
+    import math
+
+    from channelestimationtransformer_tpu.ops.pallas.attention import (
+        _attn_kernel_blhe,
+    )
+
+    rng = np.random.default_rng(3)
+    b, l, h, e = 4, 12, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    kernel = functools.partial(
+        _attn_kernel_blhe, scale=1 / math.sqrt(e), causal=causal, l_k=l,
+        heads=h,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, l, h, e), lambda i: (i, 0, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, l, h, e), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, h, e), q.dtype),
+        interpret=True,
+    )(q, k, v)
+    ref, _ = full_attention(q, k, v, mask_flag=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
