@@ -50,6 +50,10 @@ class InformerConfig:
     # high LR without warmup and is the recommended from-scratch setting.
     pre_norm: bool = False
     dtype: str = "float32"  # computation dtype for activations
+    # Fused Pallas attention kernels (ops/pallas/bd_attention.py: the
+    # block-diagonal fwd+bwd kernel for the short-sequence regime, with the
+    # long-sequence kernel as eval fallback). False = XLA einsum path.
+    use_pallas: bool = False
     # LSQ weight quantization of attention/FFN projections (reference
     # models/InformerLSQ + models/InformerLSQFibbinary): None = FP32.
     lsq_nbits: int | None = None

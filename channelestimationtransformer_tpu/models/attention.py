@@ -207,7 +207,34 @@ class AttentionLayer(nn.Module):
                 sample_rng=sample_rng,
             )
         else:
-            if self.use_pallas and deterministic and not self.output_attention:
+            from ..ops.pallas.bd_attention import (
+                runtime_supported,
+                supported_shape,
+            )
+
+            drop = 0.0 if deterministic else self.dropout
+            if (
+                self.use_pallas
+                and not self.output_attention
+                and supported_shape(q, k, v)
+                and runtime_supported(drop)
+            ):
+                # Fused block-diagonal kernel (fwd + bwd + in-kernel
+                # attention-prob dropout) — the training hot path.
+                from ..ops.pallas.bd_attention import bd_attention
+
+                if not deterministic and self.dropout > 0.0:
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), dtype=jnp.uint32
+                    ).astype(jnp.int32)
+                    out = bd_attention(
+                        q, k, v, causal=self.mask_flag,
+                        dropout=self.dropout, seed=seed,
+                    )
+                else:
+                    out = bd_attention(q, k, v, causal=self.mask_flag)
+                attn = None
+            elif self.use_pallas and deterministic and not self.output_attention:
                 from ..ops.pallas.attention import mha_attention
 
                 out = mha_attention(q, k, v, causal=self.mask_flag)

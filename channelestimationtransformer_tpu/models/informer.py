@@ -61,6 +61,7 @@ class InformerBase(nn.Module):
             dtype=dtype,
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
+            use_pallas=cfg.use_pallas,
             name="decoder",
         )(dec, enc_out, deterministic=deterministic)
 
@@ -94,6 +95,7 @@ class Informer(InformerBase):
             dtype=jnp.dtype(cfg.dtype),
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
+            use_pallas=cfg.use_pallas,
             name="encoder",
         )
 
@@ -121,6 +123,7 @@ class InformerStack(InformerBase):
             dtype=jnp.dtype(cfg.dtype),
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
+            use_pallas=cfg.use_pallas,
             name="encoder",
         )
 

@@ -52,6 +52,11 @@ def _scanned(fn, n):
 
 
 def attention_ab(reps: int):
+    from channelestimationtransformer_tpu.ops.pallas.bd_attention import (
+        bd_attention,
+        supported_shape,
+    )
+
     results = []
     rng = np.random.default_rng(0)
     h, e = 8, 16  # flagship: 8 heads x 16 head-dim (d_model 128)
@@ -64,6 +69,8 @@ def attention_ab(reps: int):
 
         xla_one = lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0]
         pal_one = lambda q, k, v: mha_attention(q, k, v, causal=False)
+        bd_ok = supported_shape(q, k, v)
+        bd_one = lambda q, k, v: bd_attention(q, k, v)
 
         # numerics check first
         err = float(jnp.max(jnp.abs(
@@ -80,6 +87,42 @@ def attention_ab(reps: int):
             "bench": "attention_ab", "batch": b, "seq": l,
             "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
             "speedup": round(ms_xla / ms_pal, 3), "max_abs_err": err,
+        }
+        if bd_ok:
+            err_bd = float(jnp.max(jnp.abs(
+                jax.jit(xla_one)(q, k, v) - jax.jit(bd_one)(q, k, v)
+            )))
+            ms_bd, _ = time_fn(
+                _scanned(bd_one, inner), q, k, v, warmup=2,
+                reps=max(reps // 10, 3),
+            )
+            ms_bd /= inner
+            row.update({
+                "ms_bd": round(ms_bd, 4),
+                "speedup_bd": round(ms_xla / ms_bd, 3),
+                "max_abs_err_bd": err_bd,
+            })
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    # Forward+backward at the flagship shape (the training regime the BD
+    # kernel exists for: fused bwd kernel vs XLA autodiff).
+    b, l = 256, 90
+    q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    for name, one in (
+        ("xla", lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0]),
+        ("bd", lambda q, k, v: bd_attention(q, k, v)),
+    ):
+        grad_one = jax.grad(lambda q, k, v: jnp.sum(one(q, k, v)), argnums=0)
+        ms, _ = time_fn(
+            _scanned(grad_one, inner), q, k, v, warmup=2,
+            reps=max(reps // 10, 3),
+        )
+        row = {
+            "bench": "attention_grad_ab", "batch": b, "seq": l, "impl": name,
+            "ms": round(ms / inner, 4),
         }
         print(json.dumps(row), flush=True)
         results.append(row)
@@ -124,8 +167,9 @@ def train_step_dtype_ab(reps: int):
     results = []
     rng = np.random.default_rng(1)
     h = jnp.asarray(rng.normal(size=(2048, 100, 16)), jnp.float32)
-    for dtype in ("float32", "bfloat16"):
-        cfg = InformerConfig(dtype=dtype)
+    for variant in ("float32", "bfloat16", "float32+bd"):
+        dtype = variant.split("+")[0]
+        cfg = InformerConfig(dtype=dtype, use_pallas=variant.endswith("bd"))
         tc = TrainConfig()
         model = build_informer(cfg)
         state = create_train_state(
@@ -152,7 +196,7 @@ def train_step_dtype_ab(reps: int):
         ms = (_time.perf_counter() - t0) * 1000 / n_chunks
         samples_s = tc.batch_size * 10 / (ms / 1000)
         row = {
-            "bench": "train_step", "dtype": dtype,
+            "bench": "train_step", "dtype": variant,
             "ms_per_batch": round(ms / 10, 4),
             "samples_per_s": round(samples_s, 1),
             "vs_a100_baseline": round(samples_s / 3370.0, 2),
