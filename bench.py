@@ -29,7 +29,12 @@ def main():
         train_chunk,
     )
 
-    cfg = InformerConfig()  # reference FullPrecision effective config
+    import os
+
+    # Optional A/B switch for the fused Pallas attention path (perf_study
+    # decides the default; the queue measures both).
+    use_pallas = os.environ.get("CETPU_BENCH_PALLAS", "0") == "1"
+    cfg = InformerConfig(use_pallas=use_pallas)  # reference FullPrecision effective config
     tc = TrainConfig()
     model = build_informer(cfg)
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)

@@ -53,6 +53,17 @@ REF_SOURCES = {
 BASE = dict(seq_len=90, label_len=10, d_model=128, d_ff=64, attn="full",
             distil="on")
 
+# Per-cluster calibration (DESIGN.md §9 addendum): the reference's committed
+# logs span two mutually inconsistent datasets for the same architecture. The
+# SNR/seq_len/label_len/attn campaign matches the ~5 km/h calibration; the
+# d_ff/distil campaign sits on a smoother channel whose ensemble Wiener bound
+# at SNR 21 (0.0023) matches ~3 km/h at the recovered slot geometry. Each
+# axis is read against runs generated at its cluster's calibration.
+CLUSTER_SPEED = {
+    "snr": 5.0, "seq_len": 5.0, "label_len": 5.0, "d_model": 5.0,
+    "attn": 5.0, "d_ff": 3.0, "distil": 3.0,
+}
+
 
 def parse_name(name: str) -> dict:
     m = re.search(
@@ -62,6 +73,7 @@ def parse_name(name: str) -> dict:
     )
     if not m:
         return {}
+    sp = re.search(r"_v(\d+(?:\.\d+)?)", name)
     return dict(
         seq_len=int(m.group(1)),
         label_len=int(m.group(2)),
@@ -71,6 +83,7 @@ def parse_name(name: str) -> dict:
         snr=int(m.group(7)),
         distil="off" if "_nodistil" in name else "on",
         calibrated="_cal" in name,
+        speed=float(sp.group(1)) if sp else (5.5 if "_cal" in name else 30.0),
     )
 
 
@@ -92,6 +105,10 @@ def main():
                     help="preferred result tag for the SNR table")
     ap.add_argument("--oracle", default=None,
                     help="ar_oracle.json path for the predictability column")
+    ap.add_argument("--base", default=None,
+                    help="previous parity.json whose rows fill in any sweep "
+                         "value with no fresh result (e.g. the committed "
+                         "experiments/artifacts/parity.json)")
     args = ap.parse_args()
 
     results = []
@@ -121,6 +138,8 @@ def main():
     snr_rows = {}
     for r in cal:
         f = r["_fields"]
+        if f["speed"] != CLUSTER_SPEED["snr"]:
+            continue
         if not at_base(r, None) or f["snr"] not in REFERENCE["snr"] and f["snr"] != 21:
             continue
         tagged = args.tag in r["name"]
@@ -139,7 +158,7 @@ def main():
         r = snr_rows[snr]
         sm = split_mean(r)
         ref = REFERENCE["snr"].get(snr)
-        snr_table[snr] = {
+        snr_table[str(snr)] = {
             "ours": r["final_val_nmse"],
             "split_mean": sm,
             "oracle": oracle.get(float(snr)),
@@ -148,6 +167,7 @@ def main():
             "run": r["name"],
         }
     parity["sweeps"]["snr"] = {"ref_source": REF_SOURCES["snr"],
+                               "cluster_speed_kmh": CLUSTER_SPEED["snr"],
                                "rows": snr_table}
 
     # --- hyperparameter sweeps ---
@@ -155,6 +175,8 @@ def main():
         rows = {}
         for r in cal:
             f = r["_fields"]
+            if f["speed"] != CLUSTER_SPEED[axis]:
+                continue
             if f["snr"] != 21 or not at_base(r, axis):
                 continue
             val = f[axis]
@@ -174,11 +196,31 @@ def main():
                 "delta_db": delta_db(sm, ref),
                 "run": r["name"],
             }
-        parity["sweeps"][axis] = {"ref_source": REF_SOURCES[axis],
-                                  "rows": table}
+        parity["sweeps"][axis] = {
+            "ref_source": REF_SOURCES[axis],
+            "cluster_speed_kmh": CLUSTER_SPEED[axis],
+            "rows": table,
+        }
+
+    # --- fill gaps from a previous round's parity.json (fresh runs win) ---
+    if args.base and os.path.exists(args.base):
+        with open(args.base) as f:
+            base = json.load(f)
+        for axis, block in base.get("sweeps", {}).items():
+            ours = parity["sweeps"].setdefault(
+                axis, {"ref_source": REF_SOURCES.get(axis, "?"), "rows": {}}
+            )
+            for val, row in block.get("rows", {}).items():
+                if val not in ours["rows"]:
+                    # Only carry rows generated at this axis' cluster
+                    # calibration (speed is encoded in the run name).
+                    sp = re.search(r"_v(\d+(?:\.\d+)?)", str(row.get("run", "")))
+                    if sp and float(sp.group(1)) != CLUSTER_SPEED.get(axis, 5.0):
+                        continue
+                    ours["rows"][val] = dict(row, carried_from_base=True)
 
     with open(os.path.join(args.out_dir, "snr_table.json"), "w") as f:
-        json.dump(snr_table, f, indent=2)
+        json.dump(parity["sweeps"]["snr"]["rows"], f, indent=2)
     with open(os.path.join(args.out_dir, "parity.json"), "w") as f:
         json.dump(parity, f, indent=2)
 

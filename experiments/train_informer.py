@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--attn", choices=["full", "prob"], default="full")
     p.add_argument("--no-distil", action="store_true")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas attention kernels (bd_attention) in "
+                        "train+eval instead of the XLA einsum path")
     p.add_argument("--pre-norm", action="store_true",
                    help="pre-LayerNorm residual blocks (from-scratch stability)")
     p.add_argument("--weight-decay", type=float, default=0.0)
@@ -109,6 +112,7 @@ def main():
         distil=not args.no_distil,
         pre_norm=args.pre_norm,
         dtype=args.dtype,
+        use_pallas=args.use_pallas,
     )
     tc = TrainConfig(
         batch_size=args.batch_size,
