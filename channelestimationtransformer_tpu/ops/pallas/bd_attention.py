@@ -106,7 +106,7 @@ def _dropout_mask(shape, seed, cell: int, *, keep_prob: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, h, e, l_q, l_k,
-                scale, causal, dropout, group):
+                scale, causal, dropout, group, precision):
     for g in range(group):
         q = q_ref[g].astype(jnp.float32)                 # [Lq, HE]
         k = _pad_rows(k_ref[g].astype(jnp.float32), LP)  # [LP, HE]
@@ -117,7 +117,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, h, e, l_q, l_k,
 
         scores = jax.lax.dot_general(
             q, k_bd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale  # [Lq, H*LP]
 
         p = _softmax_blocks(scores, h=h, l_q=l_q, l_k=l_k, causal=causal)
@@ -130,13 +130,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, h, e, l_q, l_k,
 
         o = jax.lax.dot_general(
             p, v_bd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [Lq, HE]
         o_ref[g] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, h, e, l_q, l_k, scale, causal, dropout, group):
+                *, h, e, l_q, l_k, scale, causal, dropout, group, precision):
     he = h * e
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
     for g in range(group):
@@ -151,7 +151,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         # --- recompute forward probabilities ---
         scores = jax.lax.dot_general(
             q, k_bd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale
         p = _softmax_blocks(scores, h=h, l_q=l_q, l_k=l_k, causal=causal)
         if dropout > 0.0:
@@ -166,7 +166,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         # --- dP (through dropout), then softmax VJP per head block ---
         dp = jax.lax.dot_general(
             do, v_bd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [Lq, H*LP]
         if dropout > 0.0:
             dp = jnp.where(keep, dp * inv_keep, 0.0)
@@ -182,15 +182,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         # --- input grads ---
         dq = jax.lax.dot_general(
             ds, k_bd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [Lq, HE]
         dk_bd = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [H*LP, HE]
         dv_bd = jax.lax.dot_general(
             p_drop, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [H*LP, HE]
 
         # Fold the block-diagonal back: dk[l, he'] = dk_bd[h'*LP+l, he'] at
@@ -220,13 +220,14 @@ def _specs(group, l, he):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret):
+def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret,
+              precision):
     b, l_q, he = q3.shape
     l_k = k3.shape[1]
     group = _pick_group(b)
     kernel = functools.partial(
         _fwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
-        dropout=dropout, group=group,
+        dropout=dropout, group=group, precision=precision,
     )
     flops_mm = 2 * b * l_q * he * h * LP * 2
     return pl.pallas_call(
@@ -249,13 +250,13 @@ def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret):
 
 
 def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
-              interpret):
+              interpret, precision):
     b, l_q, he = q3.shape
     l_k = k3.shape[1]
     group = _pick_group(b)
     kernel = functools.partial(
         _bwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
-        dropout=dropout, group=group,
+        dropout=dropout, group=group, precision=precision,
     )
     shapes = (
         jax.ShapeDtypeStruct((b, l_q, he), q3.dtype),
@@ -285,24 +286,26 @@ def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
 )
-def _bd_attention(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret):
+def _bd_attention(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret,
+                  precision):
     return _fwd_call(q3, k3, v3, seed, h=h, e=e, scale=scale, causal=causal,
-                     dropout=dropout, interpret=interpret)
+                     dropout=dropout, interpret=interpret, precision=precision)
 
 
-def _vjp_fwd(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret):
+def _vjp_fwd(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret,
+             precision):
     out = _fwd_call(q3, k3, v3, seed, h=h, e=e, scale=scale, causal=causal,
-                    dropout=dropout, interpret=interpret)
+                    dropout=dropout, interpret=interpret, precision=precision)
     return out, (q3, k3, v3, seed)
 
 
-def _vjp_bwd(h, e, scale, causal, dropout, interpret, res, do3):
+def _vjp_bwd(h, e, scale, causal, dropout, interpret, precision, res, do3):
     q3, k3, v3, seed = res
     dq, dk, dv = _bwd_call(
         q3, k3, v3, do3, seed, h=h, e=e, scale=scale, causal=causal,
-        dropout=dropout, interpret=interpret,
+        dropout=dropout, interpret=interpret, precision=precision,
     )
     return dq, dk, dv, jnp.zeros_like(seed)
 
@@ -323,12 +326,18 @@ def runtime_supported(dropout: float = 0.0) -> bool:
 
 
 def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
-                 dropout: float = 0.0, seed=None, interpret: bool = False):
+                 dropout: float = 0.0, seed=None, interpret: bool = False,
+                 precision: str = "highest"):
     """Fused block-diagonal attention over ``[B, L, H, E]`` tensors.
 
     Differentiable (fused backward kernel). ``dropout`` > 0 applies
     attention-probability dropout with the TPU PRNG, seeded by ``seed``
     (an int32 scalar/array; required when dropout > 0).
+
+    ``precision``: MXU f32 matmul passes — "highest" (exact f32, default;
+    matches the XLA path to ~1e-6) or "default" (1-pass bf16 inputs, ~7e-4
+    absolute error, faster). Training quality is insensitive to the fast
+    mode, but "highest" keeps the kernel drop-in exact.
     """
     b, l_q, h, e = q.shape
     he = h * e
@@ -342,6 +351,7 @@ def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
     q3 = q.reshape(b, l_q, he)
     k3 = k.reshape(b, k.shape[1], he)
     v3 = v.reshape(b, v.shape[1], he)
+    prec = getattr(jax.lax.Precision, str(precision).upper())
     out = _bd_attention(q3, k3, v3, seed, h, e, float(scale), bool(causal),
-                        float(dropout), bool(interpret))
+                        float(dropout), bool(interpret), prec)
     return out.reshape(b, l_q, h, e)

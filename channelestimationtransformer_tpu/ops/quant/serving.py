@@ -1,0 +1,133 @@
+"""Real int8 inference serving — past fake quantization.
+
+The reference's whole quantization study (PTQ/QAT/LSQ, SURVEY §2.2) motivates
+efficient inference but only ever *simulates* quantization: weights are
+rounded and immediately rematerialized as float32 for cuBLAS
+(``qtorch/quant/quant_function.py``, ``models/InformerLSQ/LSQ.py:65-74``).
+This module executes the quantized network for real on the TPU MXU:
+
+- weights stored as int8 (per-output-channel symmetric scales, or the trained
+  LSQ ``step_size`` when the checkpoint carries one),
+- activations dynamically quantized per tensor (symmetric abs-max),
+- matmuls run as int8 x int8 -> int32 ``lax.dot_general`` on the MXU (2x the
+  bf16 MAC rate on v5e), dequantized by a single fused f32 rescale.
+
+Following the reference's quantization scope, only the attention projections
+and FFN layers are quantized (token embedding and the final projection stay
+float, ``QuantizationStudy/LSQ/TrainInformerLSQ.py:190-201``).
+
+Usage::
+
+    table = build_int8_table(variables)
+    with serving_intercept(table):
+        pred = model.apply(variables, x_enc, x_dec)   # int8 MXU matmuls
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .lsq import DenseLSQ
+
+PathKey = Tuple[str, ...]
+
+# Module path names never quantized (reference scope: embeddings + final
+# projection stay FP32).
+DEFAULT_EXCLUDE = ("projection", "enc_embedding", "dec_embedding")
+
+
+def _quantize_kernel(sub: dict, nbits: int):
+    """int8 weights + f32 scale for one Dense subtree (uses the trained LSQ
+    step_size when present, else per-output-channel abs-max)."""
+    kernel = jnp.asarray(sub["kernel"])
+    qp = 2 ** (nbits - 1) - 1
+    qn = -(2 ** (nbits - 1))
+    if "step_size" in sub:
+        scale = jnp.maximum(jnp.abs(jnp.asarray(sub["step_size"])), 1e-12)
+    else:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=0) / qp, 1e-12
+        )  # [N] per out-channel
+    w_q = jnp.clip(jnp.round(kernel / scale), qn, qp).astype(jnp.int8)
+    return {
+        "w_q": w_q,
+        "w_scale": jnp.asarray(scale, jnp.float32),
+        "bias": jnp.asarray(sub["bias"], jnp.float32) if "bias" in sub else None,
+    }
+
+
+def build_int8_table(
+    variables: dict,
+    *,
+    nbits: int = 8,
+    exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
+) -> Dict[PathKey, dict]:
+    """Walk ``variables['params']`` and quantize every 2-D Dense kernel
+    (attention q/k/v/out projections + FFN layers) to int8."""
+    table: Dict[PathKey, dict] = {}
+
+    def walk(tree: dict, path: PathKey):
+        if "kernel" in tree and getattr(tree["kernel"], "ndim", 0) == 2:
+            if not any(p in exclude for p in path):
+                table[path] = _quantize_kernel(tree, nbits)
+            return
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                walk(sub, path + (name,))
+
+    walk(dict(variables["params"]), ())
+    return table
+
+
+def int8_dense_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+    """W8A8 dynamic-quantized dense: int8 x int8 -> int32 on the MXU, one
+    fused f32 rescale out."""
+    out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, entry["w_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (a_scale * entry["w_scale"])
+    if entry["bias"] is not None:
+        y = y + entry["bias"]
+    return y.astype(out_dtype)
+
+
+def serving_intercept(table: Dict[PathKey, dict]):
+    """Context manager: inside, every ``nn.Dense``/``DenseLSQ`` whose module
+    path is in ``table`` executes as a real int8 matmul."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        if (
+            isinstance(context.module, (nn.Dense, DenseLSQ))
+            and context.method_name == "__call__"
+        ):
+            path = tuple(getattr(context.module, "path", ()) or ())
+            entry = table.get(path)
+            if entry is not None:
+                return int8_dense_apply(args[0], entry)
+        return next_fn(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
+
+
+def predict_int8(
+    model,
+    variables: dict,
+    *args,
+    nbits: int = 8,
+    table: Optional[Dict[PathKey, dict]] = None,
+    **kwargs,
+):
+    """Forward pass with all eligible dense layers served in int8."""
+    table = table if table is not None else build_int8_table(variables, nbits=nbits)
+    with serving_intercept(table):
+        return model.apply(variables, *args, **kwargs)

@@ -1,0 +1,86 @@
+"""Real int8 serving path (ops/quant/serving.py).
+
+The reference only fake-quantizes (rounds weights, computes in f32,
+``qtorch/quant/quant_function.py``); this path executes int8 matmuls for
+real. Tests: table construction scope, numerical closeness to f32, LSQ
+step-size reuse, and exactness of the int8 kernel against a hand-computed
+quantized matmul.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from channelestimationtransformer_tpu.core.config import InformerConfig
+from channelestimationtransformer_tpu.models import build_informer
+from channelestimationtransformer_tpu.ops.quant.serving import (
+    build_int8_table,
+    int8_dense_apply,
+    predict_int8,
+)
+
+CFG = dict(seq_len=24, label_len=6, pred_len=3, d_model=32, n_heads=4,
+           e_layers=(2, 1), d_layers=2, d_ff=16, dropout=0.0)
+
+
+def _model_and_inputs():
+    cfg = InformerConfig(**CFG)
+    m = build_informer(cfg)
+    rng = np.random.default_rng(0)
+    x_enc = jnp.asarray(rng.normal(size=(4, 24, 16)), jnp.float32)
+    x_dec = jnp.asarray(rng.normal(size=(4, 9, 16)), jnp.float32)
+    v = m.init(jax.random.key(0), x_enc, x_dec)
+    return m, v, x_enc, x_dec
+
+
+def test_int8_table_scope_excludes_embeddings_and_projection():
+    m, v, x_enc, x_dec = _model_and_inputs()
+    table = build_int8_table(v)
+    assert table, "no layers quantized"
+    for path in table:
+        joined = "/".join(path)
+        assert "projection" not in joined
+        assert "embedding" not in joined
+        assert table[path]["w_q"].dtype == jnp.int8
+
+
+def test_int8_serving_close_to_f32_and_actually_quantized():
+    m, v, x_enc, x_dec = _model_and_inputs()
+    ref = m.apply(v, x_enc, x_dec)
+    got = predict_int8(m, v, x_enc, x_dec)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.1, f"int8 serving too far from f32: rel={rel}"
+    # and the intercept actually replaced compute (not a silent no-op)
+    assert float(jnp.max(jnp.abs(got - ref))) > 1e-6
+
+
+def test_int8_dense_apply_matches_manual_quantized_matmul():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    w_scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    w_q = jnp.clip(jnp.round(w / w_scale), -128, 127).astype(jnp.int8)
+    entry = {"w_q": w_q, "w_scale": w_scale, "bias": b}
+    got = int8_dense_apply(x, entry)
+
+    a_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    x_q = np.clip(np.round(np.asarray(x) / a_scale), -127, 127)
+    manual = (x_q @ np.asarray(w_q, np.int32)) * (a_scale * np.asarray(w_scale)) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(got), manual, rtol=1e-5, atol=1e-5)
+    # int8 matmul of a well-scaled layer stays within a few percent of f32
+    exact = np.asarray(x @ w + b)
+    rel = np.linalg.norm(np.asarray(got) - exact) / np.linalg.norm(exact)
+    assert rel < 0.05
+
+
+def test_int8_table_uses_lsq_step_size():
+    from channelestimationtransformer_tpu.ops.quant.serving import _quantize_kernel
+
+    rng = np.random.default_rng(2)
+    kernel = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    step = jnp.asarray(0.05, jnp.float32)
+    entry = _quantize_kernel({"kernel": kernel, "step_size": step}, nbits=8)
+    np.testing.assert_allclose(np.asarray(entry["w_scale"]), 0.05)
+    expect = np.clip(np.round(np.asarray(kernel) / 0.05), -128, 127)
+    np.testing.assert_array_equal(np.asarray(entry["w_q"], np.int32), expect)
