@@ -84,3 +84,28 @@ def test_int8_table_uses_lsq_step_size():
     np.testing.assert_allclose(np.asarray(entry["w_scale"]), 0.05)
     expect = np.clip(np.round(np.asarray(kernel) / 0.05), -128, 127)
     np.testing.assert_array_equal(np.asarray(entry["w_q"], np.int32), expect)
+
+
+def test_rate_report_entropy_bounds():
+    """estimateRate(WIP) completed: entropy <= fixed bits, sane totals."""
+    from channelestimationtransformer_tpu.ops.quant.rate import (
+        model_rate_report,
+        symbol_entropy_bits,
+    )
+
+    # entropy sanity: uniform over 2^k symbols -> exactly k bits
+    sym = np.arange(16).repeat(10)
+    assert abs(symbol_entropy_bits(sym) - 4.0) < 1e-9
+    assert symbol_entropy_bits(np.zeros(100)) == 0.0
+
+    m, v, x_enc, x_dec = _model_and_inputs()
+    report = model_rate_report(v, nbits=8)
+    assert "_total" in report
+    tot = report["_total"]
+    assert 0 < tot["entropy_bits_per_weight"] <= 8.0
+    assert tot["compression_entropy"] >= tot["compression_fixed"] == 4.0
+    # per-layer rows cover the same scope as serving
+    from channelestimationtransformer_tpu.ops.quant.serving import (
+        build_int8_table,
+    )
+    assert len(report) - 1 == len(build_int8_table(v, nbits=8))
