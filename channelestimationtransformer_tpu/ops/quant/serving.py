@@ -66,14 +66,24 @@ def build_int8_table(
     nbits: int = 8,
     exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
 ) -> Dict[PathKey, dict]:
-    """Walk ``variables['params']`` and quantize every 2-D Dense kernel
-    (attention q/k/v/out projections + FFN layers) to int8."""
+    """Walk ``variables['params']`` and quantize every eligible kernel:
+    2-D Dense kernels (attention q/k/v/out projections + FFN layers) and the
+    3-tap distil conv kernels (reference LSQ scope includes the distil
+    ``Conv1dLSQ``, ``models/InformerLSQ/encoder.py:12-18``), the latter as
+    im2col [3*C_in, C_out] matrices."""
     table: Dict[PathKey, dict] = {}
 
     def walk(tree: dict, path: PathKey):
-        if "kernel" in tree and getattr(tree["kernel"], "ndim", 0) == 2:
+        kern = tree.get("kernel")
+        nd = getattr(kern, "ndim", 0)
+        if nd == 2:
             if not any(p in exclude for p in path):
                 table[path] = _quantize_kernel(tree, nbits)
+            return
+        if nd == 3 and not any(p in exclude for p in path):
+            k, c_in, c_out = kern.shape
+            flat = dict(tree, kernel=jnp.asarray(kern).reshape(k * c_in, c_out))
+            table[path] = dict(_quantize_kernel(flat, nbits), taps=k)
             return
         for name, sub in tree.items():
             if isinstance(sub, dict):
@@ -101,19 +111,45 @@ def int8_dense_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
+def int8_circular_conv_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+    """Circular k-tap conv as an im2col int8 matmul (taps gathered by
+    circular roll; tap order matches ``models/embed.circular_conv1d``:
+    tap t sees x[l + t - k//2])."""
+    k = entry["taps"]
+    pad = k // 2
+    cols = [jnp.roll(x, pad - t, axis=1) for t in range(k)]
+    return int8_dense_apply(jnp.concatenate(cols, axis=-1), entry)
+
+
+def _int8_conv_layer(module, x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+    """Serve a distil ``ConvLayer`` (models/encoder.py): int8 circular conv,
+    then the layer's own BatchNorm (inference stats) / ELU / maxpool."""
+    var = module.variables
+    y = int8_circular_conv_apply(x, entry)
+    bn_p = var["params"]["norm"]
+    bn_s = var["batch_stats"]["norm"]
+    inv = jax.lax.rsqrt(bn_s["var"] + 1e-5)
+    y = (y - bn_s["mean"]) * inv * bn_p["scale"] + bn_p["bias"]
+    y = nn.elu(y)
+    return nn.max_pool(y, window_shape=(3,), strides=(2,), padding=((1, 1),))
+
+
 def serving_intercept(table: Dict[PathKey, dict]):
-    """Context manager: inside, every ``nn.Dense``/``DenseLSQ`` whose module
-    path is in ``table`` executes as a real int8 matmul."""
+    """Context manager: inside, every ``nn.Dense``/``DenseLSQ`` (and distil
+    ``ConvLayer``) whose module path is in ``table`` executes as a real int8
+    matmul."""
+    from ...models.encoder import ConvLayer
 
     def interceptor(next_fn, args, kwargs, context):
-        if (
-            isinstance(context.module, (nn.Dense, DenseLSQ))
-            and context.method_name == "__call__"
-        ):
-            path = tuple(getattr(context.module, "path", ()) or ())
-            entry = table.get(path)
-            if entry is not None:
+        if context.method_name != "__call__":
+            return next_fn(*args, **kwargs)
+        path = tuple(getattr(context.module, "path", ()) or ())
+        entry = table.get(path)
+        if entry is not None:
+            if isinstance(context.module, (nn.Dense, DenseLSQ)):
                 return int8_dense_apply(args[0], entry)
+            if isinstance(context.module, ConvLayer):
+                return _int8_conv_layer(context.module, args[0], entry)
         return next_fn(*args, **kwargs)
 
     return nn.intercept_methods(interceptor)

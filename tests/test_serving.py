@@ -44,6 +44,37 @@ def test_int8_table_scope_excludes_embeddings_and_projection():
         assert table[path]["w_q"].dtype == jnp.int8
 
 
+def test_int8_table_includes_distil_convs():
+    """Reference LSQ scope quantizes the distil conv too
+    (models/InformerLSQ/encoder.py:12-18) — so does serving (im2col int8)."""
+    m, v, x_enc, x_dec = _model_and_inputs()
+    table = build_int8_table(v)
+    conv_rows = [p for p in table if "distil" in "/".join(p)]
+    assert conv_rows, "distil conv not quantized"
+    for p in conv_rows:
+        assert table[p]["taps"] == 3
+        assert table[p]["w_q"].ndim == 2  # im2col [3*C_in, C_out]
+
+
+def test_int8_circular_conv_matches_f32_conv():
+    from channelestimationtransformer_tpu.models.embed import circular_conv1d
+    from channelestimationtransformer_tpu.ops.quant.serving import (
+        _quantize_kernel,
+        int8_circular_conv_apply,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 8)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(3, 8, 8)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(8,)) * 0.1, jnp.float32)
+    entry = dict(_quantize_kernel(
+        {"kernel": kern.reshape(24, 8), "bias": bias}, 8), taps=3)
+    got = int8_circular_conv_apply(x, entry)
+    ref = circular_conv1d(x, kern, bias)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
 def test_int8_serving_close_to_f32_and_actually_quantized():
     m, v, x_enc, x_dec = _model_and_inputs()
     ref = m.apply(v, x_enc, x_dec)
