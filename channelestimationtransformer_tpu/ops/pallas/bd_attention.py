@@ -327,17 +327,19 @@ def runtime_supported(dropout: float = 0.0) -> bool:
 
 def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
                  dropout: float = 0.0, seed=None, interpret: bool = False,
-                 precision: str = "highest"):
+                 precision: str = "default"):
     """Fused block-diagonal attention over ``[B, L, H, E]`` tensors.
 
     Differentiable (fused backward kernel). ``dropout`` > 0 applies
     attention-probability dropout with the TPU PRNG, seeded by ``seed``
     (an int32 scalar/array; required when dropout > 0).
 
-    ``precision``: MXU f32 matmul passes — "highest" (exact f32, default;
-    matches the XLA path to ~1e-6) or "default" (1-pass bf16 inputs, ~7e-4
-    absolute error, faster). Training quality is insensitive to the fast
-    mode, but "highest" keeps the kernel drop-in exact.
+    ``precision``: MXU matmul precision request. Measured on v5e
+    (bd_check artifacts): "default" tracks the XLA einsum path to ~7e-4
+    absolute (MXU input rounding, symmetric between the two paths — the
+    interpret-mode test pins the kernel's math to ~1e-7 of exact f32);
+    requesting "highest" through Mosaic measured both slower AND further
+    from XLA (~1.3e-2), so "default" is the default.
     """
     b, l_q, h, e = q.shape
     he = h * e

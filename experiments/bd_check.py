@@ -63,7 +63,7 @@ def main() -> int:
         err_g = max(
             float(jnp.max(jnp.abs(a - b_))) for a, b_ in zip(g_ref, g_bd)
         )
-        ok = err_f < 2e-4 and err_g < 5e-3
+        ok = err_f < 5e-3 and err_g < 2e-2
         failures += not ok
         print(json.dumps({
             "check": "bd_vs_xla", "shape": [b, l_q, l_k, h, e],

@@ -63,6 +63,29 @@ def attention_ab(reps: int):
     inner = 20  # kernel invocations per dispatch
     # whole-problem-in-VMEM kernel: cap L so [L, L] f32 scores fit in VMEM
     for b, l in [(256, 90), (256, 128), (64, 512), (32, 1024)]:
+        # transient remote-compile failures (HTTP 500 from the tunnel's
+        # compile helper) shouldn't kill the whole study
+        try:
+            results.extend(_attention_row(rng, b, l, h, e, inner, reps))
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"bench": "attention_ab", "batch": b, "seq": l,
+                              "error": str(exc)[:200]}), flush=True)
+    try:
+        results.extend(_attention_grad_rows(rng, h, e, inner, reps))
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"bench": "attention_grad_ab",
+                          "error": str(exc)[:200]}), flush=True)
+    return results
+
+
+def _attention_row(rng, b, l, h, e, inner, reps):
+    from channelestimationtransformer_tpu.ops.pallas.bd_attention import (
+        bd_attention,
+        supported_shape,
+    )
+
+    results = []
+    if True:
         q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
         k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
         v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
@@ -104,7 +127,15 @@ def attention_ab(reps: int):
             })
         print(json.dumps(row), flush=True)
         results.append(row)
+    return results
 
+
+def _attention_grad_rows(rng, h, e, inner, reps):
+    from channelestimationtransformer_tpu.ops.pallas.bd_attention import (
+        bd_attention,
+    )
+
+    results = []
     # Forward+backward at the flagship shape (the training regime the BD
     # kernel exists for: fused bwd kernel vs XLA autodiff).
     b, l = 256, 90
@@ -168,6 +199,7 @@ def train_step_dtype_ab(reps: int):
     rng = np.random.default_rng(1)
     h = jnp.asarray(rng.normal(size=(2048, 100, 16)), jnp.float32)
     for variant in ("float32", "bfloat16", "float32+bd"):
+      try:
         dtype = variant.split("+")[0]
         cfg = InformerConfig(dtype=dtype, use_pallas=variant.endswith("bd"))
         tc = TrainConfig()
@@ -203,6 +235,9 @@ def train_step_dtype_ab(reps: int):
         }
         print(json.dumps(row), flush=True)
         results.append(row)
+      except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"bench": "train_step", "dtype": variant,
+                          "error": str(exc)[:200]}), flush=True)
     return results
 
 
