@@ -47,16 +47,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LP = 128  # per-head key-block width: exactly one lane tile
+VMEM_BUDGET = 10 * 1024 * 1024  # of the ~16 MB/core, leave headroom
+
+
+def _vmem_bytes(g: int, l_q: int, l_k: int, h: int, e: int) -> int:
+    """Worst-case VMEM for one program: double-buffered in/out blocks for a
+    group of ``g`` batch elements (backward holds 7 such blocks) plus the
+    per-iteration intermediates (scores/p/dp/ds slabs + the packed K_bd/V_bd
+    and their gradient counterparts)."""
+    he = h * e
+    blocks = 2 * 7 * g * max(l_q, l_k) * he          # 7 refs, double-buffered
+    slabs = 4 * l_q * h * LP                          # scores/p/dp/ds
+    packed = 4 * h * LP * he                          # K_bd/V_bd/dK_bd/dV_bd
+    return 4 * (blocks + slabs + packed)
+
+
+def _pick_group(b: int, l_q: int = 0, l_k: int = 0, h: int = 0,
+                e: int = 0) -> int:
+    g = 8
+    while g > 1 and (b % g or _vmem_bytes(g, l_q, l_k, h, e) > VMEM_BUDGET):
+        g //= 2
+    return g
 
 
 def _supported(l_q: int, l_k: int, h: int, e: int, d: int, b: int) -> bool:
-    """Shapes this kernel handles: whole problem per batch element in VMEM."""
+    """Shapes this kernel handles: whole problem per batch element in VMEM
+    (at group=1 if need be — _pick_group shrinks the group first)."""
     if e != d or l_k > LP or l_q > 512:
         return False
-    # scores slab [Lq, H*LP] f32 + K_bd/V_bd [H*LP, HE] must fit comfortably.
-    he = h * e
-    vmem = 4 * (l_q * h * LP * 3 + 2 * h * LP * he + 4 * l_q * he)
-    return vmem <= 12 * 1024 * 1024
+    return _vmem_bytes(1, l_q, l_k, h, e) <= VMEM_BUDGET
 
 
 def _bd_pack(x_pad, h: int, e: int):
@@ -208,13 +227,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
-def _pick_group(b: int) -> int:
-    g = 8
-    while g > 1 and b % g:
-        g //= 2
-    return g
-
-
 def _specs(group, l, he):
     return pl.BlockSpec((group, l, he), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -224,7 +236,7 @@ def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret,
               precision):
     b, l_q, he = q3.shape
     l_k = k3.shape[1]
-    group = _pick_group(b)
+    group = _pick_group(b, l_q, l_k, h, e)
     kernel = functools.partial(
         _fwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
         dropout=dropout, group=group, precision=precision,
@@ -253,7 +265,7 @@ def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
               interpret, precision):
     b, l_q, he = q3.shape
     l_k = k3.shape[1]
-    group = _pick_group(b)
+    group = _pick_group(b, l_q, l_k, h, e)
     kernel = functools.partial(
         _bwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
         dropout=dropout, group=group, precision=precision,
@@ -319,10 +331,14 @@ def supported_shape(q, k, v) -> bool:
     return _supported(l_q, k.shape[1], h, e, v.shape[-1], b)
 
 
+TPU_BACKENDS = ("tpu", "axon")  # axon = the tunneled TPU PJRT plugin
+
+
 def runtime_supported(dropout: float = 0.0) -> bool:
-    """Whether the current backend can run the kernel (the dropout path needs
-    the TPU hardware PRNG; CPU interpret mode covers everything else)."""
-    return jax.default_backend() != "cpu" or dropout == 0.0
+    """Whether the current backend can run the kernel: native on TPU-like
+    backends, interpreter elsewhere (where the dropout path is unavailable —
+    it needs the TPU hardware PRNG)."""
+    return jax.default_backend() in TPU_BACKENDS or dropout == 0.0
 
 
 def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
@@ -344,8 +360,8 @@ def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
     b, l_q, h, e = q.shape
     he = h * e
     scale = scale if scale is not None else 1.0 / math.sqrt(e)
-    # CPU (tests / virtual meshes): run the kernel through the interpreter.
-    interpret = interpret or jax.default_backend() == "cpu"
+    # Non-TPU backends (CPU tests / virtual meshes): interpreter mode.
+    interpret = interpret or jax.default_backend() not in TPU_BACKENDS
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:

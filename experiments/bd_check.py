@@ -13,6 +13,7 @@ Prints one JSON line per check; exits nonzero on failure.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -31,6 +32,10 @@ from channelestimationtransformer_tpu.ops.pallas.bd_attention import bd_attentio
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="weights/bd_check.json")
+    args = ap.parse_args()
+    rows = []
     rng = np.random.default_rng(0)
     failures = 0
 
@@ -65,11 +70,13 @@ def main() -> int:
         )
         ok = err_f < 5e-3 and err_g < 2e-2
         failures += not ok
-        print(json.dumps({
+        row = {
             "check": "bd_vs_xla", "shape": [b, l_q, l_k, h, e],
             "causal": causal, "max_err_fwd": err_f, "max_err_grad": err_g,
             "ok": ok,
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     # dropout: determinism + keep-rate + gradient self-consistency
     b, l, h, e = 64, 90, 8, 16
@@ -93,12 +100,17 @@ def main() -> int:
     gdet = float(jnp.max(jnp.abs(g1 - g2)))
     ok = det == 0.0 and diff > 1e-3 and abs(ratio - 1.0) < 0.05 and gdet == 0.0
     failures += not ok
-    print(json.dumps({
+    row = {
         "check": "bd_dropout", "determinism_err": det, "seed_sensitivity": diff,
         "mean_keep_ratio": ratio, "grad_determinism_err": gdet, "ok": ok,
-    }), flush=True)
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
 
     print(json.dumps({"check": "bd_check", "failures": failures}), flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"failures": failures, "rows": rows}, f, indent=2)
     return 1 if failures else 0
 
 

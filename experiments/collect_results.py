@@ -120,7 +120,10 @@ def main():
             r["_fields"] = fields
             results.append(r)
 
-    cal = [r for r in results if r["_fields"]["calibrated"]]
+    # Parity rows come from the standard XLA-path recipe; kernel-A/B runs
+    # (name suffix "_pallas") are compared in their own artifact, not here.
+    cal = [r for r in results
+           if r["_fields"]["calibrated"] and "_pallas" not in r["name"]]
 
     def at_base(r, axis):
         f = r["_fields"]

@@ -64,8 +64,20 @@ def main():
 
     ckpt = args.checkpoint
     if ckpt is None:
-        cands = sorted(glob.glob("weights/tmodel_*21_cal*.msgpack"),
-                       key=os.path.getmtime)
+        # Only checkpoints of the exact flagship architecture load into the
+        # default InformerConfig; the queue also writes d_ff/attn/distil
+        # sweep checkpoints that match a looser glob but not the model tree.
+        def flagship(name):
+            return ("_sl_90_" in name and "_dm_128_" in name
+                    and "_df_64_" in name and "_at_full_" in name
+                    and "21_cal" in name and "nodistil" not in name
+                    and "_pallas" not in name)
+
+        cands = sorted(
+            (c for c in glob.glob("weights/tmodel_*.msgpack")
+             if flagship(os.path.basename(c))),
+            key=os.path.getmtime,
+        )
         ckpt = cands[-1] if cands else None
     if ckpt:
         state, epoch, _ = load_checkpoint(ckpt, state)

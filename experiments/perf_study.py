@@ -52,11 +52,6 @@ def _scanned(fn, n):
 
 
 def attention_ab(reps: int):
-    from channelestimationtransformer_tpu.ops.pallas.bd_attention import (
-        bd_attention,
-        supported_shape,
-    )
-
     results = []
     rng = np.random.default_rng(0)
     h, e = 8, 16  # flagship: 8 heads x 16 head-dim (d_model 128)
@@ -85,48 +80,47 @@ def _attention_row(rng, b, l, h, e, inner, reps):
     )
 
     results = []
-    if True:
-        q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, h, e)), jnp.float32)
 
-        xla_one = lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0]
-        pal_one = lambda q, k, v: mha_attention(q, k, v, causal=False)
-        bd_ok = supported_shape(q, k, v)
-        bd_one = lambda q, k, v: bd_attention(q, k, v)
+    xla_one = lambda q, k, v: full_attention(q, k, v, mask_flag=False)[0]
+    pal_one = lambda q, k, v: mha_attention(q, k, v, causal=False)
+    bd_ok = supported_shape(q, k, v)
+    bd_one = lambda q, k, v: bd_attention(q, k, v)
 
-        # numerics check first
-        err = float(jnp.max(jnp.abs(
-            jax.jit(xla_one)(q, k, v) - jax.jit(pal_one)(q, k, v)
+    # numerics check first
+    err = float(jnp.max(jnp.abs(
+        jax.jit(xla_one)(q, k, v) - jax.jit(pal_one)(q, k, v)
+    )))
+
+    xla_fn = _scanned(xla_one, inner)
+    pallas_fn = _scanned(pal_one, inner)
+    ms_xla, _ = time_fn(xla_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
+    ms_pal, _ = time_fn(pallas_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
+    ms_xla /= inner
+    ms_pal /= inner
+    row = {
+        "bench": "attention_ab", "batch": b, "seq": l,
+        "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
+        "speedup": round(ms_xla / ms_pal, 3), "max_abs_err": err,
+    }
+    if bd_ok:
+        err_bd = float(jnp.max(jnp.abs(
+            jax.jit(xla_one)(q, k, v) - jax.jit(bd_one)(q, k, v)
         )))
-
-        xla_fn = _scanned(xla_one, inner)
-        pallas_fn = _scanned(pal_one, inner)
-        ms_xla, _ = time_fn(xla_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
-        ms_pal, _ = time_fn(pallas_fn, q, k, v, warmup=2, reps=max(reps // 10, 3))
-        ms_xla /= inner
-        ms_pal /= inner
-        row = {
-            "bench": "attention_ab", "batch": b, "seq": l,
-            "ms_xla": round(ms_xla, 4), "ms_pallas": round(ms_pal, 4),
-            "speedup": round(ms_xla / ms_pal, 3), "max_abs_err": err,
-        }
-        if bd_ok:
-            err_bd = float(jnp.max(jnp.abs(
-                jax.jit(xla_one)(q, k, v) - jax.jit(bd_one)(q, k, v)
-            )))
-            ms_bd, _ = time_fn(
-                _scanned(bd_one, inner), q, k, v, warmup=2,
-                reps=max(reps // 10, 3),
-            )
-            ms_bd /= inner
-            row.update({
-                "ms_bd": round(ms_bd, 4),
-                "speedup_bd": round(ms_xla / ms_bd, 3),
-                "max_abs_err_bd": err_bd,
-            })
-        print(json.dumps(row), flush=True)
-        results.append(row)
+        ms_bd, _ = time_fn(
+            _scanned(bd_one, inner), q, k, v, warmup=2,
+            reps=max(reps // 10, 3),
+        )
+        ms_bd /= inner
+        row.update({
+            "ms_bd": round(ms_bd, 4),
+            "speedup_bd": round(ms_xla / ms_bd, 3),
+            "max_abs_err_bd": err_bd,
+        })
+    print(json.dumps(row), flush=True)
+    results.append(row)
     return results
 
 

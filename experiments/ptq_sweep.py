@@ -53,6 +53,11 @@ def main():
     p.add_argument("--snr", type=float, default=21.0)
     p.add_argument("--wl-min", type=int, default=4)
     p.add_argument("--wl-max", type=int, default=15)
+    p.add_argument("--fl-offset", type=int, default=-4,
+                   help="fractional length = wl + offset. The reference uses "
+                        "-4 in the PTQ sweep (PostTrainingQuantization.py:146) "
+                        "but -1 in its eval-only variant (Eval.py:196, SURVEY "
+                        "quirk 9)")
     p.add_argument("--val-samples", type=int, default=2048)
     add_channel_args(p)
     p.add_argument("--out", default="weights/ptq_results.json")
@@ -89,7 +94,7 @@ def main():
     fp32_params = state.params
     for rounding in ("nearest", "stochastic"):
         for wl in range(args.wl_min, args.wl_max + 1):
-            fl = wl - 4
+            fl = wl + args.fl_offset
 
             def qfn(w, percentage, key, wl=wl, fl=fl, rounding=rounding):
                 return fixed_point_quantize(

@@ -133,6 +133,7 @@ def main():
            (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else ""))
         + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
         + ("_prenorm" if args.pre_norm else "")
+        + ("_pallas" if args.use_pallas else "")
         + ("_nodistil" if args.no_distil else "")
         + (f"_{args.tag}" if args.tag else "")
     )
