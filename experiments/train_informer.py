@@ -61,6 +61,12 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--steps-per-epoch", type=int, default=226)
+    p.add_argument("--log-every", type=int, default=22,
+                   help="train-chunk size in steps (= host fetches per "
+                        "epoch: steps/log_every). On a flaky tunnel use 226 "
+                        "(one fetch per epoch)")
+    p.add_argument("--checkpoint-every", type=int, default=100,
+                   help="checkpoint cadence in epochs (reference: 100)")
     p.add_argument("--train-samples", type=int, default=8192)
     p.add_argument("--val-samples", type=int, default=2048)
     p.add_argument("--num-slots", type=int, default=100)
@@ -122,6 +128,9 @@ def main():
         steps_per_epoch=args.steps_per_epoch,
         seed=args.seed,
         schedule=args.lr_schedule,
+        log_every=args.log_every,
+        checkpoint_every_epochs=args.checkpoint_every,
+        checkpoint_dir=args.out,
     )
     # Reference model-name line (parsed by Figures/parse.py).
     name = (
