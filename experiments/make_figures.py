@@ -198,6 +198,56 @@ def main():
         fig.savefig(out, dpi=150)
         made.append(out)
 
+    # Round-3: scale demo (throughput + MXU fraction vs model size).
+    sd = os.path.join(args.weights_dir, "scale_demo.json")
+    if os.path.exists(sd):
+        with open(sd) as f:
+            rows = [r for r in json.load(f) if "error" not in r]
+        if rows:
+            names = [r["config"] for r in rows]
+            fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2))
+            ax1.bar(names, [r["samples_per_s"] for r in rows], width=0.6)
+            ax1.set_ylabel("train samples/s (1 chip)")
+            ax1.set_yscale("log")
+            ax1.grid(True, axis="y", alpha=0.3)
+            ax2.bar(names, [100 * r["mxu_fraction"] for r in rows], width=0.6)
+            ax2.set_ylabel("MXU utilization [%]")
+            ax2.grid(True, axis="y", alpha=0.3)
+            for ax in (ax1, ax2):
+                ax.tick_params(axis="x", rotation=20)
+            fig.suptitle("fused train step vs model size (bf16)", fontsize=10)
+            fig.tight_layout()
+            out = os.path.join(args.out, "scale_demo.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
+    # Round-3: int8 serving accuracy/latency summary.
+    i8 = os.path.join(args.weights_dir, "int8_serving.json")
+    if os.path.exists(i8):
+        with open(i8) as f:
+            r = json.load(f)
+        if "split_f32" in r:
+            horizons = list(range(1, len(r["split_f32"]) + 1))
+            fig, ax = plt.subplots(figsize=(5, 3.2))
+            ax.plot(horizons, [10 * np.log10(v) for v in r["split_f32"]],
+                    "o-", label="float32")
+            ax.plot(horizons, [10 * np.log10(v) for v in r["split_int8"]],
+                    "s--", label=f"int8 served (W8A8, {r['layers']} layers)")
+            ax.set_xlabel("prediction horizon [slots]")
+            ax.set_ylabel("val NMSE [dB]")
+            ax.set_xticks(horizons)
+            ax.legend()
+            ax.grid(True, alpha=0.3)
+            ax.set_title(
+                f"int8 serving: Δ{r['nmse_delta_db']:+.2f} dB, "
+                f"latency ×{r.get('latency_speedup', float('nan')):.2f}",
+                fontsize=9,
+            )
+            fig.tight_layout()
+            out = os.path.join(args.out, "int8_serving.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
     # Loss curves from any text logs given.
     parsed = {}
     for logpath in args.logs:
