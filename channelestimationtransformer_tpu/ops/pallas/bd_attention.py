@@ -87,13 +87,6 @@ def _bd_pack(x_pad, h: int, e: int):
     return jnp.where((row // LP) == (col // e), tiled, 0.0)
 
 
-def _pad_rows(x, rows: int):
-    pad = rows - x.shape[0]
-    if pad > 0:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-    return x
-
-
 def _softmax_blocks(scores, *, h: int, l_q: int, l_k: int, causal: bool):
     """Per-head softmax on lane-aligned [Lq, LP] column slices.
 
@@ -126,10 +119,12 @@ def _dropout_mask(shape, seed, cell: int, *, keep_prob: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, h, e, l_q, l_k,
                 scale, causal, dropout, group, precision):
+    # k_ref/v_ref blocks arrive LP-row padded (wrapper pads once in HBM; the
+    # pad rides the block DMA instead of costing VPU work per group element).
     for g in range(group):
-        q = q_ref[g].astype(jnp.float32)                 # [Lq, HE]
-        k = _pad_rows(k_ref[g].astype(jnp.float32), LP)  # [LP, HE]
-        v = _pad_rows(v_ref[g].astype(jnp.float32), LP)
+        q = q_ref[g].astype(jnp.float32)  # [Lq, HE]
+        k = k_ref[g].astype(jnp.float32)  # [LP, HE]
+        v = v_ref[g].astype(jnp.float32)
 
         k_bd = _bd_pack(k, h, e)  # [H*LP, HE]
         v_bd = _bd_pack(v, h, e)
@@ -160,8 +155,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
     for g in range(group):
         q = q_ref[g].astype(jnp.float32)
-        k = _pad_rows(k_ref[g].astype(jnp.float32), LP)
-        v = _pad_rows(v_ref[g].astype(jnp.float32), LP)
+        k = k_ref[g].astype(jnp.float32)  # [LP, HE] (pre-padded)
+        v = v_ref[g].astype(jnp.float32)
         do = do_ref[g].astype(jnp.float32)  # [Lq, HE]
 
         k_bd = _bd_pack(k, h, e)
@@ -214,13 +209,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
         # Fold the block-diagonal back: dk[l, he'] = dk_bd[h'*LP+l, he'] at
         # h' = he'//E (off-block columns of dk_bd are junk -> masked out).
-        col = jax.lax.broadcasted_iota(jnp.int32, (l_k, he), 1)
-        dk = jnp.zeros((l_k, he), jnp.float32)
-        dv = jnp.zeros((l_k, he), jnp.float32)
+        # Rows l >= l_k are exact zeros (dS is zero at padded columns), so
+        # the fold runs over the full padded LP rows and the wrapper's pad
+        # VJP slices them away.
+        col = jax.lax.broadcasted_iota(jnp.int32, (LP, he), 1)
+        dk = jnp.zeros((LP, he), jnp.float32)
+        dv = jnp.zeros((LP, he), jnp.float32)
         for i in range(h):
             blk = (col // e) == i
-            dk = dk + jnp.where(blk, dk_bd[i * LP:i * LP + l_k, :], 0.0)
-            dv = dv + jnp.where(blk, dv_bd[i * LP:i * LP + l_k, :], 0.0)
+            dk = dk + jnp.where(blk, dk_bd[i * LP:(i + 1) * LP, :], 0.0)
+            dv = dv + jnp.where(blk, dv_bd[i * LP:(i + 1) * LP, :], 0.0)
 
         dq_ref[g] = dq.astype(dq_ref.dtype)
         dk_ref[g] = dk.astype(dk_ref.dtype)
@@ -233,10 +231,10 @@ def _specs(group, l, he):
 
 
 def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret,
-              precision):
+              precision, l_k):
     b, l_q, he = q3.shape
-    l_k = k3.shape[1]
-    group = _pick_group(b, l_q, l_k, h, e)
+    lp = k3.shape[1]
+    group = _pick_group(b, l_q, lp, h, e)
     kernel = functools.partial(
         _fwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
         dropout=dropout, group=group, precision=precision,
@@ -248,13 +246,13 @@ def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             _specs(group, l_q, he),
-            _specs(group, l_k, he),
-            _specs(group, l_k, he),
+            _specs(group, lp, he),
+            _specs(group, lp, he),
         ],
         out_specs=_specs(group, l_q, he),
         out_shape=jax.ShapeDtypeStruct((b, l_q, he), q3.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_mm, bytes_accessed=4 * b * (3 * l_k + l_q) * he,
+            flops=flops_mm, bytes_accessed=4 * b * (3 * lp + l_q) * he,
             transcendentals=b * l_q * h * LP,
         ),
         interpret=interpret,
@@ -262,18 +260,18 @@ def _fwd_call(q3, k3, v3, seed, *, h, e, scale, causal, dropout, interpret,
 
 
 def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
-              interpret, precision):
+              interpret, precision, l_k):
     b, l_q, he = q3.shape
-    l_k = k3.shape[1]
-    group = _pick_group(b, l_q, l_k, h, e)
+    lp = k3.shape[1]
+    group = _pick_group(b, l_q, lp, h, e)
     kernel = functools.partial(
         _bwd_kernel, h=h, e=e, l_q=l_q, l_k=l_k, scale=scale, causal=causal,
         dropout=dropout, group=group, precision=precision,
     )
     shapes = (
         jax.ShapeDtypeStruct((b, l_q, he), q3.dtype),
-        jax.ShapeDtypeStruct((b, l_k, he), k3.dtype),
-        jax.ShapeDtypeStruct((b, l_k, he), v3.dtype),
+        jax.ShapeDtypeStruct((b, lp, he), k3.dtype),
+        jax.ShapeDtypeStruct((b, lp, he), v3.dtype),
     )
     return pl.pallas_call(
         kernel,
@@ -281,16 +279,16 @@ def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             _specs(group, l_q, he),
-            _specs(group, l_k, he),
-            _specs(group, l_k, he),
+            _specs(group, lp, he),
+            _specs(group, lp, he),
             _specs(group, l_q, he),
         ],
-        out_specs=(_specs(group, l_q, he), _specs(group, l_k, he),
-                   _specs(group, l_k, he)),
+        out_specs=(_specs(group, l_q, he), _specs(group, lp, he),
+                   _specs(group, lp, he)),
         out_shape=shapes,
         cost_estimate=pl.CostEstimate(
             flops=5 * b * l_q * he * h * LP * 2,
-            bytes_accessed=4 * b * (3 * l_k + 4 * l_q) * he,
+            bytes_accessed=4 * b * (3 * lp + 4 * l_q) * he,
             transcendentals=b * l_q * h * LP,
         ),
         interpret=interpret,
@@ -298,26 +296,29 @@ def _bwd_call(q3, k3, v3, do3, seed, *, h, e, scale, causal, dropout,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
 )
 def _bd_attention(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret,
-                  precision):
+                  precision, l_k):
     return _fwd_call(q3, k3, v3, seed, h=h, e=e, scale=scale, causal=causal,
-                     dropout=dropout, interpret=interpret, precision=precision)
+                     dropout=dropout, interpret=interpret,
+                     precision=precision, l_k=l_k)
 
 
 def _vjp_fwd(q3, k3, v3, seed, h, e, scale, causal, dropout, interpret,
-             precision):
+             precision, l_k):
     out = _fwd_call(q3, k3, v3, seed, h=h, e=e, scale=scale, causal=causal,
-                    dropout=dropout, interpret=interpret, precision=precision)
+                    dropout=dropout, interpret=interpret,
+                    precision=precision, l_k=l_k)
     return out, (q3, k3, v3, seed)
 
 
-def _vjp_bwd(h, e, scale, causal, dropout, interpret, precision, res, do3):
+def _vjp_bwd(h, e, scale, causal, dropout, interpret, precision, l_k, res,
+             do3):
     q3, k3, v3, seed = res
     dq, dk, dv = _bwd_call(
         q3, k3, v3, do3, seed, h=h, e=e, scale=scale, causal=causal,
-        dropout=dropout, interpret=interpret, precision=precision,
+        dropout=dropout, interpret=interpret, precision=precision, l_k=l_k,
     )
     return dq, dk, dv, jnp.zeros_like(seed)
 
@@ -366,10 +367,20 @@ def bd_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    l_k = k.shape[1]
+    if l_k > LP:
+        raise ValueError(
+            f"bd_attention handles key lengths <= {LP}; got {l_k} "
+            "(gate callers on supported_shape())"
+        )
     q3 = q.reshape(b, l_q, he)
-    k3 = k.reshape(b, k.shape[1], he)
-    v3 = v.reshape(b, v.shape[1], he)
+    k3 = k.reshape(b, l_k, he)
+    v3 = v.reshape(b, l_k, he)
+    if l_k < LP:
+        # Pad once in HBM (the pad VJP slices dk/dv back automatically).
+        k3 = jnp.pad(k3, ((0, 0), (0, LP - l_k), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, LP - l_k), (0, 0)))
     prec = getattr(jax.lax.Precision, str(precision).upper())
     out = _bd_attention(q3, k3, v3, seed, h, e, float(scale), bool(causal),
-                        float(dropout), bool(interpret), prec)
+                        float(dropout), bool(interpret), prec, l_k)
     return out.reshape(b, l_q, h, e)
