@@ -232,7 +232,9 @@ def main():
              f"Metric: {parity['metric']}. delta_db = 10*log10(ours/ref); "
              "negative = we beat the reference.", ""]
     for axis, block in parity["sweeps"].items():
-        lines.append(f"## {axis}  \n_source: {block['ref_source']}_\n")
+        spd = block.get("cluster_speed_kmh")
+        cal = f" — runs at the {spd:g} km/h cluster calibration" if spd else ""
+        lines.append(f"## {axis}  \n_source: {block['ref_source']}{cal}_\n")
         lines.append("| value | ours (split-mean) | ref | delta dB |")
         lines.append("|---|---|---|---|")
         for val, row in sorted(block["rows"].items(),
