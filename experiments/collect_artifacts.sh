@@ -4,6 +4,7 @@
 cd "$(dirname "$0")/.."
 mkdir -p experiments/artifacts
 python experiments/collect_results.py weights --tag r2cos --base experiments/artifacts/parity.json || true
+python experiments/pallas_ab.py weights || true
 for f in snr_table.json parity.json PARITY_RESULTS.md runtime.json \
          lsq_results.json lsq_fibbinary_results.json ptq_results.json \
          e2e_results.json e2e_coded_conv.json e2e_coded_ldpc.json \
@@ -17,6 +18,7 @@ cp weights/result_*.json experiments/artifacts/ 2>/dev/null
 cp weights/ar_oracle*.json experiments/artifacts/ 2>/dev/null
 cp weights/bd_check*.json experiments/artifacts/ 2>/dev/null
 cp weights/int8_serving.json experiments/artifacts/ 2>/dev/null
+cp weights/pallas_ab.json experiments/artifacts/ 2>/dev/null
 cp weights/sweep_*.txt experiments/artifacts/ 2>/dev/null
 [ -d weights/comparison ] && cp weights/comparison/comparison.json experiments/artifacts/ 2>/dev/null
 python experiments/make_figures.py --weights-dir weights --out figures || true
