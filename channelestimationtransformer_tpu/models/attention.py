@@ -234,7 +234,14 @@ class AttentionLayer(nn.Module):
                 else:
                     out = bd_attention(q, k, v, causal=self.mask_flag)
                 attn = None
-            elif self.use_pallas and deterministic and not self.output_attention:
+            elif (
+                self.use_pallas
+                and deterministic
+                and not self.output_attention
+                and jax.default_backend() in ("tpu", "axon")
+            ):
+                # Long-sequence eval fallback kernel (native TPU only — it
+                # has no interpreter plumbing; other backends take XLA).
                 from ..ops.pallas.attention import mha_attention
 
                 out = mha_attention(q, k, v, causal=self.mask_flag)
