@@ -68,10 +68,14 @@ def main():
         # default InformerConfig; the queue also writes d_ff/attn/distil
         # sweep checkpoints that match a looser glob but not the model tree.
         def flagship(name):
-            return ("_sl_90_" in name and "_dm_128_" in name
-                    and "_df_64_" in name and "_at_full_" in name
-                    and "21_cal" in name and "nodistil" not in name
-                    and "_pallas" not in name)
+            # exact flagship architecture AND geometry (ll mismatch loads
+            # fine but evaluates a model trained for a different decoder
+            # window); _pallas checkpoints are architecture-identical
+            # (the kernel only changes how attention is computed).
+            return ("_sl_90_" in name and "_ll_10_" in name
+                    and "_dm_128_" in name and "_df_64_" in name
+                    and "_at_full_" in name and "21_cal_v5" in name
+                    and "nodistil" not in name)
 
         cands = sorted(
             (c for c in glob.glob("weights/tmodel_*.msgpack")
