@@ -45,6 +45,10 @@ SIZES = [
     ("medium", 256, 1024, 128, 256),
     ("large", 512, 2048, 256, 128),
     ("xl", 1024, 4096, 256, 64),
+    # same models at batches that amortize per-step fixed costs (HBM allows
+    # it easily; the reference's batch=256 convention is a toy-size choice)
+    ("large_b512", 512, 2048, 256, 512),
+    ("xl_b256", 1024, 4096, 256, 256),
 ]
 
 
