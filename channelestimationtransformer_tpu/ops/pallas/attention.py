@@ -152,7 +152,10 @@ def mha_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
     # compute volume instead).
     bh = b * h
     g = group
-    while g > 1 and (g * l_q * max(l_k, 128) * 4 > 4 * 1024 * 1024 or bh % g):
+    # 2 MB of scores per program: the double-buffered in/out blocks plus the
+    # per-head [Lq, Lk] slabs must fit VMEM (the 4 MB bound OOM'd the
+    # Mosaic compiler at [64, 512] — see perf_study logs).
+    while g > 1 and (g * l_q * max(l_k, 128) * 4 > 2 * 1024 * 1024 or bh % g):
         g //= 2
     g = max(g, 1)
 
