@@ -21,6 +21,20 @@ def setup(cache_dir: str | None = None) -> None:
         except Exception:
             pass
 
+    # Optional PRNG implementation override (CETPU_PRNG=rbg|unsafe_rbg|
+    # threefry2x32). The fused train step draws tens of millions of randoms
+    # per step (window sampling, AWGN, every dropout mask); threefry is a
+    # ~20-round ALU ladder while rbg rides the TPU's hardware-accelerated
+    # generator. Counter-based determinism per key is preserved either way —
+    # only the stream values differ, so checkpoints/parity runs should pin
+    # one impl (the default stays threefry for cross-backend reproducibility).
+    prng = os.environ.get("CETPU_PRNG")
+    if prng:
+        try:
+            jax.config.update("jax_default_prng_impl", prng)
+        except Exception:
+            pass
+
     try:
         cache = cache_dir or os.environ.get(
             "CET_JAX_CACHE", os.path.join(os.path.dirname(__file__), "../../.jax_cache")

@@ -26,6 +26,12 @@ def estimate_macs(fn, *example_args) -> Optional[float]:
     """MACs for one call of ``fn(*example_args)`` from XLA cost analysis.
 
     Returns None when the backend does not expose cost analysis.
+
+    Caveat (verified on both XLA:CPU and the TPU backend): cost_analysis
+    counts a ``lax.scan``/while-loop body ONCE, ignoring the trip count.
+    For models that scan over time (the recurrent predictors), the returned
+    count covers a single timestep — use ``model_complexity``'s
+    ``sequential_steps`` to scale it to the full sequence.
     """
     try:
         compiled = jax.jit(fn).lower(*example_args).compile()
@@ -38,13 +44,24 @@ def estimate_macs(fn, *example_args) -> Optional[float]:
         return None
 
 
-def model_complexity(model, variables, *example_inputs) -> dict:
+def model_complexity(
+    model, variables, *example_inputs, sequential_steps: int = 1
+) -> dict:
     """Params + MACs report for a model's apply fn (the complexityAnalysis
-    equivalent; per-sample MACs = total / batch)."""
+    equivalent; per-sample MACs = total / batch).
+
+    ``sequential_steps``: trip count of the model's internal time scan, by
+    which the scan-body-once cost_analysis count is multiplied (see
+    :func:`estimate_macs`; 1 for feed-forward models, ``T-1`` for the
+    teacher-forced recurrent predictors). The reference's ptflops numbers
+    count the full unrolled sequence (``complexityAnalysis.py:73-127``).
+    """
     batch = example_inputs[0].shape[0]
     macs = estimate_macs(
         lambda v, *a: model.apply(v, *a), variables, *example_inputs
     )
+    if macs:
+        macs *= sequential_steps
     return {
         "params": count_params(variables.get("params", variables)),
         "macs_total": macs,

@@ -59,7 +59,11 @@ def main():
         rmodel = RecurrentPredictor(config=rcfg)
         x = jnp.zeros((b, icfg.seq_len, rcfg.features))
         rvars = rmodel.init(jax.random.key(0), x)
-        report[cell] = model_complexity(rmodel, rvars, x)
+        # The recurrent cell runs inside a time scan; cost_analysis counts
+        # the body once, so scale by the T-1 teacher-forced steps.
+        report[cell] = model_complexity(
+            rmodel, rvars, x, sequential_steps=icfg.seq_len - 1
+        )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -165,6 +165,8 @@ def main():
         for path in qat_files:
             with open(path) as f:
                 curve = json.load(f)
+            if isinstance(curve, dict):  # log-recovered artifacts wrap the
+                curve = curve["curve"]   # rows with provenance fields
             label = os.path.basename(path)[len("qat_"):-len(".json")]
             fr = [row["fraction"] for row in curve]
             nm = [10 * np.log10(row["val_nmse"]) for row in curve]

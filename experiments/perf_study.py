@@ -192,10 +192,19 @@ def train_step_dtype_ab(reps: int):
     results = []
     rng = np.random.default_rng(1)
     h = jnp.asarray(rng.normal(size=(2048, 100, 16)), jnp.float32)
-    for variant in ("float32", "bfloat16", "float32+bd"):
+    # +bd = block-diagonal Pallas attention; +rbg = TPU hardware-backed RBG
+    # PRNG keys (threefry is a ~20-round ALU ladder; the step draws tens of
+    # millions of randoms for sampling/AWGN/dropout). The PRNG impl travels
+    # with the key, so selecting it needs no global config.
+    for variant in (
+        "float32", "bfloat16", "float32+bd", "bfloat16+bd",
+        "float32+bd+rbg", "bfloat16+bd+rbg",
+    ):
       try:
-        dtype = variant.split("+")[0]
-        cfg = InformerConfig(dtype=dtype, use_pallas=variant.endswith("bd"))
+        tokens = variant.split("+")
+        dtype = tokens[0]
+        impl = "rbg" if "rbg" in tokens else None
+        cfg = InformerConfig(dtype=dtype, use_pallas="bd" in tokens)
         tc = TrainConfig()
         model = build_informer(cfg)
         state = create_train_state(
@@ -210,7 +219,7 @@ def train_step_dtype_ab(reps: int):
         # timing loop instead of time_fn's fixed-args replay.
         import time as _time
 
-        key = jax.random.key(2)
+        key = jax.random.key(2, impl=impl) if impl else jax.random.key(2)
         for i in range(2):  # warmup/compile
             state, m = train_chunk(state, h, jax.random.fold_in(key, i), **kwargs)
         jax.block_until_ready(m["loss_sum"])
