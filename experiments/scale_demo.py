@@ -87,12 +87,20 @@ def main():
                 seq_len=cfg.seq_len, pred_len=cfg.pred_len, snr_db=21.0,
             )
 
-            # FLOPs of one fused step from the compiled executable.
+            # FLOPs of one fused step from the compiled executable. Lower a
+            # num_steps=1 chunk: XLA:TPU's cost_analysis counts a while-loop
+            # (lax.scan) body ONCE, ignoring the trip count — lowering the
+            # measured num_steps>1 chunk and dividing by num_steps therefore
+            # under-reports FLOPs by exactly num_steps (verified: the same
+            # xl program reports 483 GF on the TPU backend at num_steps=10
+            # vs 4,833 GF on XLA:CPU at num_steps=1). A 1-step chunk is the
+            # unambiguous per-step count on both backends.
+            kwargs1 = dict(kwargs, num_steps=1)
             lowered = jax.jit(
-                lambda s, hh, k: train_chunk(s, hh, k, **kwargs),
+                lambda s, hh, k: train_chunk(s, hh, k, **kwargs1),
             ).lower(state, h, jax.random.key(1))
             cost = lowered.compile().cost_analysis()
-            flops_chunk = float(cost.get("flops", 0.0)) if cost else 0.0
+            flops_step_xla = float(cost.get("flops", 0.0)) if cost else 0.0
 
             key = jax.random.key(2)
             state, m = train_chunk(state, h, key, **kwargs)  # compile+warm
@@ -105,7 +113,7 @@ def main():
                 float(m["loss_sum"])  # fetch = the reliable barrier here
             dt = (time.perf_counter() - t0) / args.chunks
             ms_step = dt * 1000 / args.steps
-            flops_step = flops_chunk / args.steps
+            flops_step = flops_step_xla
             achieved = flops_step / (ms_step / 1e3)
             row = {
                 "config": name, "d_model": d_model, "d_ff": d_ff,

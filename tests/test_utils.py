@@ -85,3 +85,27 @@ def test_metrics_writer(tmp_path):
     files = list(os.walk(str(tmp_path / "runs")))
     flat = [os.path.join(d, f) for d, _, fs in files for f in fs]
     assert flat, files
+
+
+def test_collect_e2e_log_parser(tmp_path):
+    # Recovers BER/BLER/SE from an e2e run log, including tqdm \r frames
+    # (collect_e2e rebuilds artifacts whose JSONs lived in wiped weights/).
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.collect_e2e import parse_log
+
+    log = tmp_path / "e2e.log"
+    log.write_text(
+        "some warning\r"
+        "perfect: SE 11.50 b/s/Hz, coded BER [0.4, 0.2], BLER [0.9, 0.5]\n"
+        "predicted: SE 11.46 b/s/Hz, BER [0.3, 0.1]\n"
+    )
+    rec = parse_log(str(log))
+    assert rec["se"]["perfect"] == 11.5
+    assert rec["ber"]["perfect"] == [0.4, 0.2]
+    assert rec["bler"]["perfect"] == [0.9, 0.5]
+    assert rec["ber"]["predicted"] == [0.3, 0.1]
+    assert parse_log(str(log)) is not None
+    empty = tmp_path / "empty.log"
+    empty.write_text("WARNING: nothing here\n")
+    assert parse_log(str(empty)) is None
