@@ -37,7 +37,13 @@ def main():
     # hardware and the exactness test suite). CETPU_BENCH_PALLAS=0 reverts
     # to the pure-XLA path.
     use_pallas = os.environ.get("CETPU_BENCH_PALLAS", "1") == "1"
-    cfg = InformerConfig(use_pallas=use_pallas)  # reference FullPrecision effective config
+    # Activation dtype + PRNG impl knobs (perf_study train_step A/B):
+    # bfloat16 activations halve HBM traffic on the latency-bound step, and
+    # rbg keys replace the threefry ALU ladder with the TPU hardware
+    # generator for the ~20M randoms/step (sampling + AWGN + dropout).
+    dtype = os.environ.get("CETPU_BENCH_DTYPE", "float32")
+    prng = os.environ.get("CETPU_BENCH_PRNG", "threefry2x32")
+    cfg = InformerConfig(use_pallas=use_pallas, dtype=dtype)  # reference FullPrecision effective config
     tc = TrainConfig()
     model = build_informer(cfg)
     state = create_train_state(model, rng=jax.random.key(0), cfg=cfg, train_cfg=tc)
@@ -57,7 +63,7 @@ def main():
     )
 
     # Warmup / compile.
-    key = jax.random.key(1)
+    key = jax.random.key(1, impl=prng)
     steps = 113  # half a reference epoch per dispatch
     state, m = train_chunk(state, h, key, num_steps=steps, **kwargs)
     float(m["loss_sum"])

@@ -222,12 +222,14 @@ def train_step_dtype_ab(reps: int):
         key = jax.random.key(2, impl=impl) if impl else jax.random.key(2)
         for i in range(2):  # warmup/compile
             state, m = train_chunk(state, h, jax.random.fold_in(key, i), **kwargs)
-        jax.block_until_ready(m["loss_sum"])
+        float(m["loss_sum"])  # value fetch: the only reliable barrier on the
+        # axon tunnel runtime (block_until_ready can return pre-completion,
+        # inflating throughput ~30x — same workaround as bench.py/_force).
         n_chunks = max(reps // 10, 3)
         t0 = _time.perf_counter()
         for i in range(n_chunks):
             state, m = train_chunk(state, h, jax.random.fold_in(key, 10 + i), **kwargs)
-        jax.block_until_ready(m["loss_sum"])
+            float(m["loss_sum"])
         ms = (_time.perf_counter() - t0) * 1000 / n_chunks
         samples_s = tc.batch_size * 10 / (ms / 1000)
         row = {
@@ -248,14 +250,25 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=50)
     p.add_argument("--out", default="weights/perf_study.json")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="subset of sections (attention_ab/quant_ab/train_step)")
     args = p.parse_args()
     print(f"Device: {jax.devices()[0]}", flush=True)
 
-    out = {
-        "attention_ab": attention_ab(args.reps),
-        "quant_ab": quant_kernel_ab(args.reps),
-        "train_step": train_step_dtype_ab(args.reps),
+    sections = {
+        "attention_ab": lambda: attention_ab(args.reps),
+        "quant_ab": lambda: quant_kernel_ab(args.reps),
+        "train_step": lambda: train_step_dtype_ab(args.reps),
     }
+    # --only merges fresh sections over the existing artifact instead of
+    # dropping the others.
+    out = {}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    for name, fn in sections.items():
+        if args.only is None or name in args.only:
+            out[name] = fn()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
