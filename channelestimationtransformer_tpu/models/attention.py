@@ -208,6 +208,7 @@ class AttentionLayer(nn.Module):
             )
         else:
             from ..ops.pallas.bd_attention import (
+                TPU_BACKENDS,
                 runtime_supported,
                 supported_shape,
             )
@@ -238,7 +239,7 @@ class AttentionLayer(nn.Module):
                 self.use_pallas
                 and deterministic
                 and not self.output_attention
-                and jax.default_backend() in ("tpu", "axon")
+                and jax.default_backend() in TPU_BACKENDS
             ):
                 # Long-sequence eval fallback kernel (native TPU only — it
                 # has no interpreter plumbing; other backends take XLA).

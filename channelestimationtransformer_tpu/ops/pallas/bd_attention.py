@@ -42,6 +42,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -320,7 +321,10 @@ def _vjp_bwd(h, e, scale, causal, dropout, interpret, precision, l_k, res,
         q3, k3, v3, do3, seed, h=h, e=e, scale=scale, causal=causal,
         dropout=dropout, interpret=interpret, precision=precision, l_k=l_k,
     )
-    return dq, dk, dv, jnp.zeros_like(seed)
+    # The PRNG seed is an integer primal: JAX's custom_vjp contract wants a
+    # symbolic-zero float0 cotangent for it, not an int32 zero array.
+    seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, seed_ct
 
 
 _bd_attention.defvjp(_vjp_fwd, _vjp_bwd)

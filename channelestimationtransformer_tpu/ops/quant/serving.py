@@ -134,10 +134,15 @@ def _int8_conv_layer(module, x: jnp.ndarray, entry: dict) -> jnp.ndarray:
     return nn.max_pool(y, window_shape=(3,), strides=(2,), padding=((1, 1),))
 
 
-def serving_intercept(table: Dict[PathKey, dict]):
+def serving_intercept(table: Dict[PathKey, dict], hits: Optional[set] = None):
     """Context manager: inside, every ``nn.Dense``/``DenseLSQ`` (and distil
     ``ConvLayer``) whose module path is in ``table`` executes as a real int8
-    matmul."""
+    matmul.
+
+    ``hits`` (optional): a set the interceptor adds each served module path
+    to, so callers can verify the table actually matched (a Flax API change
+    that breaks ``Module.path`` would otherwise silently serve f32).
+    """
     from ...models.encoder import ConvLayer
 
     def interceptor(next_fn, args, kwargs, context):
@@ -147,8 +152,12 @@ def serving_intercept(table: Dict[PathKey, dict]):
         entry = table.get(path)
         if entry is not None:
             if isinstance(context.module, (nn.Dense, DenseLSQ)):
+                if hits is not None:
+                    hits.add(path)
                 return int8_dense_apply(args[0], entry)
             if isinstance(context.module, ConvLayer):
+                if hits is not None:
+                    hits.add(path)
                 return _int8_conv_layer(context.module, args[0], entry)
         return next_fn(*args, **kwargs)
 
@@ -163,7 +172,26 @@ def predict_int8(
     table: Optional[Dict[PathKey, dict]] = None,
     **kwargs,
 ):
-    """Forward pass with all eligible dense layers served in int8."""
+    """Forward pass with all eligible dense layers served in int8.
+
+    Raises ``RuntimeError`` if the intercept matched *no* table entry (the
+    whole model silently running f32), and warns when only a subset matched.
+    """
     table = table if table is not None else build_int8_table(variables, nbits=nbits)
-    with serving_intercept(table):
-        return model.apply(variables, *args, **kwargs)
+    hits: set = set()
+    with serving_intercept(table, hits=hits):
+        out = model.apply(variables, *args, **kwargs)
+    if table and not hits:
+        raise RuntimeError(
+            "predict_int8: int8 table matched no module path — the model ran "
+            "entirely in f32 (Flax Module.path unavailable or paths renamed)"
+        )
+    if len(hits) < len(table):
+        import warnings
+
+        warnings.warn(
+            f"predict_int8: only {len(hits)}/{len(table)} int8 table entries "
+            "were exercised by this forward pass",
+            stacklevel=2,
+        )
+    return out

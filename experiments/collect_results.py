@@ -73,7 +73,17 @@ def parse_name(name: str) -> dict:
     )
     if not m:
         return {}
-    sp = re.search(r"_v(\d+(?:\.\d+)?)", name)
+    # Anchor the speed to the calibration tag (``_cal_v5``); a run name with
+    # an unrelated earlier ``_v...`` token must not win. Fall back to the
+    # *last* bare ``_v`` token for non-calibrated explicit-speed runs.
+    cal = re.search(r"_cal_v(\d+(?:\.\d+)?)", name)
+    bare = re.findall(r"_v(\d+(?:\.\d+)?)(?=_|$)", name)
+    if cal:
+        speed = float(cal.group(1))
+    elif bare:
+        speed = float(bare[-1])
+    else:
+        speed = 5.5 if "_cal" in name else 30.0
     return dict(
         seq_len=int(m.group(1)),
         label_len=int(m.group(2)),
@@ -83,7 +93,7 @@ def parse_name(name: str) -> dict:
         snr=int(m.group(7)),
         distil="off" if "_nodistil" in name else "on",
         calibrated="_cal" in name,
-        speed=float(sp.group(1)) if sp else (5.5 if "_cal" in name else 30.0),
+        speed=speed,
     )
 
 
@@ -217,7 +227,8 @@ def main():
                 if val not in ours["rows"]:
                     # Only carry rows generated at this axis' cluster
                     # calibration (speed is encoded in the run name).
-                    sp = re.search(r"_v(\d+(?:\.\d+)?)", str(row.get("run", "")))
+                    sp = re.search(r"_cal_v(\d+(?:\.\d+)?)",
+                                   str(row.get("run", "")))
                     if sp and float(sp.group(1)) != CLUSTER_SPEED.get(axis, 5.0):
                         continue
                     ours["rows"][val] = dict(row, carried_from_base=True)
