@@ -54,6 +54,13 @@ class InformerConfig:
     # block-diagonal fwd+bwd kernel for the short-sequence regime, with the
     # long-sequence kernel as eval fallback). False = XLA einsum path.
     use_pallas: bool = False
+    # Fuse the per-layer Q/K/V projections into one [d_model, 3*d_model]
+    # matmul for self-attention (K/V pair for cross-attention). Exact same
+    # math and init distribution; 3x fewer MXU dispatches per layer — a
+    # latency-bound-regime optimization (DESIGN.md §8). Param layout differs
+    # from the reference-faithful three-Dense tree (one "qkv" kernel), so
+    # parity runs keep it off.
+    fuse_qkv: bool = False
     # LSQ weight quantization of attention/FFN projections (reference
     # models/InformerLSQ + models/InformerLSQFibbinary): None = FP32.
     lsq_nbits: int | None = None
@@ -152,6 +159,11 @@ class TrainConfig:
     schedule: str = "warmup_cosine"
     checkpoint_every_epochs: int = 100
     log_every: int = 22  # ~len/10 per the reference logging cadence
+    # PRNG key implementation for the training streams (dataset windows, AWGN,
+    # dropout). "rbg" uses the TPU hardware random-bit generator instead of
+    # the threefry2x32 ALU ladder — the bench's canonical fast config; the
+    # quality A/B vs threefry is experiments/interleaved_ab.py (r4 canonical).
+    prng_impl: str = "threefry2x32"
     checkpoint_dir: str = "weights"
     experiment_name: str = "runs/tmodel"
 

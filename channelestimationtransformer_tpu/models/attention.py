@@ -153,6 +153,13 @@ class AttentionLayer(nn.Module):
     mix: bool = False
     output_attention: bool = False
     use_pallas: bool = False
+    # One fused [d_model, 3*d_model] QKV projection for self-attention (KV
+    # pair for cross-attention) instead of three/two separate matmuls — same
+    # math and init distribution, fewer dispatches (latency-bound regime,
+    # DESIGN.md §8). Distinct param layout ("qkv"/"kv" kernels), so the
+    # reference-faithful parity recipe keeps it off; not combined with LSQ
+    # (per-tensor step sizes want per-projection tensors).
+    fuse_qkv: bool = False
     # Sequence-parallel ring attention (attn="ring"): mesh with a ``seq_axis``
     # axis; Q stays local, K/V shards rotate via ppermute (parallel/ring.py).
     mesh: Any = None
@@ -179,9 +186,22 @@ class AttentionLayer(nn.Module):
         d_head = self.d_model // h
 
         dense = lambda name: self._dense(d_head * h, name)
-        q = dense("query")(queries).reshape(b, l, h, d_head)
-        k = dense("key")(keys).reshape(b, s, h, d_head)
-        v = dense("value")(values).reshape(b, s, h, d_head)
+        d = d_head * h
+        if self.fuse_qkv and self.lsq_nbits is None and queries is keys:
+            # Self-attention: one [d_model, 3d] matmul, split into Q/K/V.
+            qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(queries)
+            q, k, v = (t.reshape(b, l, h, d_head)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        elif self.fuse_qkv and self.lsq_nbits is None and keys is values:
+            # Cross-attention: fuse the K/V pair over the encoder output.
+            q = dense("query")(queries).reshape(b, l, h, d_head)
+            kv = nn.Dense(2 * d, dtype=self.dtype, name="kv")(keys)
+            k, v = (t.reshape(b, s, h, d_head)
+                    for t in jnp.split(kv, 2, axis=-1))
+        else:
+            q = dense("query")(queries).reshape(b, l, h, d_head)
+            k = dense("key")(keys).reshape(b, s, h, d_head)
+            v = dense("value")(values).reshape(b, s, h, d_head)
 
         if self.attn == "ring":
             if self.mesh is None:

@@ -28,6 +28,7 @@ class DecoderLayer(nn.Module):
     factor: int = 5
     mix: bool = True
     use_pallas: bool = False
+    fuse_qkv: bool = False
     pre_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
@@ -48,6 +49,7 @@ class DecoderLayer(nn.Module):
             dropout=self.dropout,
             mix=self.mix,
             use_pallas=self.use_pallas,
+            fuse_qkv=self.fuse_qkv,
             dtype=self.dtype,
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
@@ -67,6 +69,7 @@ class DecoderLayer(nn.Module):
             dropout=self.dropout,
             mix=False,
             use_pallas=self.use_pallas,
+            fuse_qkv=self.fuse_qkv,
             dtype=self.dtype,
             lsq_nbits=self.lsq_nbits,
             lsq_fibbinary=self.lsq_fibbinary,
@@ -104,6 +107,7 @@ class Decoder(nn.Module):
     factor: int = 5
     mix: bool = True
     use_pallas: bool = False
+    fuse_qkv: bool = False
     pre_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     lsq_nbits: int | None = None
@@ -122,6 +126,7 @@ class Decoder(nn.Module):
                 factor=self.factor,
                 mix=self.mix,
                 use_pallas=self.use_pallas,
+                fuse_qkv=self.fuse_qkv,
                 pre_norm=self.pre_norm,
                 dtype=self.dtype,
                 lsq_nbits=self.lsq_nbits,

@@ -100,6 +100,7 @@ class EncoderLayer(nn.Module):
     factor: int = 5
     output_attention: bool = False
     use_pallas: bool = False
+    fuse_qkv: bool = False
     pre_norm: bool = False
     mesh: Any = None  # required for attn="ring" (sequence-parallel)
     seq_axis: str = "seq"
@@ -120,6 +121,7 @@ class EncoderLayer(nn.Module):
             mix=False,
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
+            fuse_qkv=self.fuse_qkv,
             mesh=self.mesh,
             seq_axis=self.seq_axis,
             dtype=self.dtype,
@@ -161,6 +163,7 @@ class Encoder(nn.Module):
     distil: bool = True
     output_attention: bool = False
     use_pallas: bool = False
+    fuse_qkv: bool = False
     pre_norm: bool = False
     mesh: Any = None  # required for attn="ring" (sequence-parallel)
     seq_axis: str = "seq"
@@ -181,6 +184,7 @@ class Encoder(nn.Module):
             factor=self.factor,
             output_attention=self.output_attention,
             use_pallas=self.use_pallas,
+            fuse_qkv=self.fuse_qkv,
             pre_norm=self.pre_norm,
             mesh=self.mesh,
             seq_axis=self.seq_axis,
@@ -227,6 +231,7 @@ class EncoderStack(nn.Module):
     distil: bool = True
     output_attention: bool = False
     use_pallas: bool = False
+    fuse_qkv: bool = False
     pre_norm: bool = False
     mesh: Any = None  # required for attn="ring" (sequence-parallel)
     seq_axis: str = "seq"
@@ -252,6 +257,7 @@ class EncoderStack(nn.Module):
                 distil=self.distil,
                 output_attention=self.output_attention,
                 use_pallas=self.use_pallas,
+                fuse_qkv=self.fuse_qkv,
                 pre_norm=self.pre_norm,
                 mesh=self.mesh,
                 seq_axis=self.seq_axis,

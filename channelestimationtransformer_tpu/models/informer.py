@@ -62,6 +62,7 @@ class InformerBase(nn.Module):
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
             use_pallas=cfg.use_pallas,
+            fuse_qkv=cfg.fuse_qkv,
             name="decoder",
         )(dec, enc_out, deterministic=deterministic)
 
@@ -96,6 +97,7 @@ class Informer(InformerBase):
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
             use_pallas=cfg.use_pallas,
+            fuse_qkv=cfg.fuse_qkv,
             name="encoder",
         )
 
@@ -124,6 +126,7 @@ class InformerStack(InformerBase):
             lsq_nbits=cfg.lsq_nbits,
             lsq_fibbinary=cfg.lsq_fibbinary,
             use_pallas=cfg.use_pallas,
+            fuse_qkv=cfg.fuse_qkv,
             name="encoder",
         )
 

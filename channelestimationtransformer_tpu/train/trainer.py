@@ -342,7 +342,7 @@ class Trainer:
     checkpoint_tag: str = "tmodel_"
 
     def __post_init__(self):
-        rng = jax.random.key(self.train_cfg.seed)
+        rng = jax.random.key(self.train_cfg.seed)  # init stays impl-invariant
         self.state = create_train_state(
             self.model, rng=rng, cfg=self.cfg, train_cfg=self.train_cfg
         )
@@ -418,7 +418,7 @@ class Trainer:
         tc = self.train_cfg
         num_epochs = num_epochs if num_epochs is not None else tc.num_epochs
         steps = tc.steps_per_epoch
-        root = jax.random.key(tc.seed + 1)
+        root = jax.random.key(tc.seed + 1, impl=tc.prng_impl)
         history = []
 
         chunk = tc.log_every

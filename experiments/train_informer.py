@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--d-ff", type=int, default=64)
     p.add_argument("--dropout", type=float, default=0.05)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--prng", choices=["threefry2x32", "rbg"],
+                   default="threefry2x32",
+                   help="training-stream PRNG impl; 'rbg' = TPU hardware "
+                        "random-bit generator (the bench's fast config)")
     p.add_argument("--attn", choices=["full", "prob"], default="full")
     p.add_argument("--no-distil", action="store_true")
     p.add_argument("--use-pallas", action="store_true",
@@ -131,6 +135,7 @@ def main():
         log_every=args.log_every,
         checkpoint_every_epochs=args.checkpoint_every,
         checkpoint_dir=args.out,
+        prng_impl=args.prng,
     )
     # Reference model-name line (parsed by Figures/parse.py).
     name = (
@@ -142,6 +147,8 @@ def main():
            (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else ""))
         + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
         + ("_prenorm" if args.pre_norm else "")
+        + ("_bf16" if args.dtype == "bfloat16" else "")
+        + ("_rbg" if args.prng == "rbg" else "")
         + ("_pallas" if args.use_pallas else "")
         + ("_nodistil" if args.no_distil else "")
         + (f"_{args.tag}" if args.tag else "")

@@ -102,3 +102,56 @@ def test_pre_norm_variant():
     model2, variables2, _, _ = _make(cfg2)
     out2 = model2.apply(variables2, x_enc, x_dec)
     assert out.shape == out2.shape
+
+
+def test_fused_qkv_matches_separate_projections():
+    """fuse_qkv=True computes the identical function: transplanting the
+    three per-projection kernels into the fused qkv/kv layout reproduces
+    the unfused model's output exactly (one matmul vs three is the only
+    difference — DESIGN.md §8 latency-regime fusion)."""
+    cfg = InformerConfig(
+        seq_len=48, label_len=8, pred_len=4, d_model=32, n_heads=4,
+        e_layers=(2,), d_layers=2, d_ff=16, dropout=0.0,
+    )
+    model, variables, x_enc, x_dec = _make(cfg)
+    fcfg = dataclasses.replace(cfg, fuse_qkv=True)
+    fmodel = build_informer(fcfg)
+    fvars = fmodel.init(jax.random.key(1), x_enc, x_dec)
+
+    def transplant(ref, fused):
+        out = {}
+        for k, v in fused.items():
+            if k == "qkv":
+                out[k] = {
+                    "kernel": jnp.concatenate(
+                        [ref[n]["kernel"] for n in ("query", "key", "value")],
+                        axis=1,
+                    ),
+                    "bias": jnp.concatenate(
+                        [ref[n]["bias"] for n in ("query", "key", "value")]
+                    ),
+                }
+            elif k == "kv":
+                out[k] = {
+                    "kernel": jnp.concatenate(
+                        [ref[n]["kernel"] for n in ("key", "value")], axis=1
+                    ),
+                    "bias": jnp.concatenate(
+                        [ref[n]["bias"] for n in ("key", "value")]
+                    ),
+                }
+            elif isinstance(v, dict):
+                out[k] = transplant(ref[k], v)
+            else:
+                out[k] = ref[k]
+        return out
+
+    fvars = {
+        "params": transplant(variables["params"], fvars["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
+    ref_out = model.apply(variables, x_enc, x_dec)
+    fused_out = fmodel.apply(fvars, x_enc, x_dec)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(ref_out), atol=2e-5, rtol=2e-5
+    )
