@@ -92,7 +92,13 @@ def main():
     p.add_argument("--out", default="weights/ar_oracle.json")
     args = p.parse_args()
 
-    results = {"order": args.order, "slot_symbols": args.slot_symbols, "snr": {}}
+    results = {
+        "order": args.order, "slot_symbols": args.slot_symbols,
+        "calibrated": bool(args.calibrated),
+        "ue_speed_kmh": args.ue_speed_kmh,
+        "seq_len": args.seq_len,
+        "snr": {},
+    }
     for snr in args.snr:
         ds = make_window_dataset(
             jax.random.key(1234),

@@ -161,7 +161,7 @@ def main():
     # --- Family 1: speed grid at the recovered slot geometry ---
     rows = {}
     best, best_cost, best_gap = None, np.inf, None
-    for v in [float(s) for s in args.speeds.split(",")]:
+    for v in [float(s) for s in args.speeds.split(",") if s]:
         m = CDLModel(sampling_frequency=1.0 / SLOT_PERIOD, ue_speed_ms=v / 3.6)
         x = generate(m, args.n, 95, seed=2)
         bounds, per_h90 = {}, None
@@ -190,7 +190,7 @@ def main():
     # --- Family 2: slot-symbols grid at 30 km/h vs the dmodel/LSQ cluster ---
     ss_rows = {}
     ss_best, ss_cost = None, np.inf
-    for ss in [int(s) for s in args.slot_symbols.split(",")]:
+    for ss in [int(s) for s in args.slot_symbols.split(",") if s]:
         m = CDLModel(sampling_frequency=120e3 / ss, ue_speed_ms=30.0 / 3.6)
         x = generate(m, args.n, 95, seed=3)
         tot, per_h = wiener_bound(x, 90)

@@ -1,25 +1,43 @@
 """Collect experiment result JSONs into the full BASELINE parity table.
 
 Covers every NMSE row of BASELINE.md: the SNR sweep (12..20) plus the six
-hyperparameter sweeps (seq_len, label_len, d_ff, d_model, attn, distil),
-each with dB deltas against the reference's committed A100 numbers
-(``/root/reference/FullPrecision/Figures/*.txt``, last "valid loss" per
-section). Emits ``snr_table.json``, ``parity.json`` and a markdown
-``PARITY_RESULTS.md`` (the root ``PARITY.md`` is the component-inventory
-mapping).
+hyperparameter sweeps (seq_len, label_len, d_ff, d_model, attn, distil) and
+the LSQ study's FP32 anchor, each with dB deltas against the reference's
+committed A100 numbers (``/root/reference/FullPrecision/Figures/*.txt``,
+last "valid loss" per section; ``PaperFigures/LSQ/LSQ.py:44``). Emits
+``snr_table.json``, ``parity.json`` and a markdown ``PARITY_RESULTS.md``
+(the root ``PARITY.md`` is the component-inventory mapping).
 
 The compared metric is the reference's logged "valid loss" = the MEAN of the
 5-horizon ``NMSELossSplit`` (prediction-power-normalized quirk, SURVEY §7.4
 q4) — our ``final_val_split`` mean; the scalar target-normalized NMSE is
 reported alongside.
 
-Caveat recorded in the output: several reference sweep sections are mutually
-inconsistent for the *same* nominal config (e.g. ``dmodel.txt`` ends at
-0.277 for the exact architecture whose ``SNR.txt`` section ends at 0.0074,
-and ``dff.txt`` is a 10-epoch run where the others are 50-100 epochs), so
-per-row deltas against those sections measure recipe drift in the reference,
-not model quality; the self-consistent rows are the SNR table, seq_len,
-attn and distil.
+Per-cluster calibration (DESIGN.md §9 addendum, §12, and the round-4
+``calibrate_fast.py`` closure): the reference's committed logs span (at
+least) three mutually inconsistent datasets for the same architecture —
+
+- **smooth**  (``dff.txt``, ``distil.txt``): ensemble Wiener bound matches
+  ~3 km/h at the recovered 160.42 us slot geometry;
+- **SNR**     (``SNR.txt``): matches ~5 km/h at the same geometry;
+- **fast**    (``sequence_len.txt``, ``label_length.txt``, ``attn.txt``):
+  matches the reference's own nominal 30 km/h mobility at the recovered
+  geometry (bound(seq 90) = 0.051 at SNR 21; the committed rows sit
+  1.5-2.8 dB above it, the same model-above-bound headroom the smooth
+  cluster shows). No speed reproduces the curve's *shape* below seq 75
+  (see ``calibration_fast.json``): on CDL-B the bound is flat in window
+  length until a resolution threshold near 90 slots, so the reference's
+  smooth seq-25..75 collapse is partly an optimization/capacity effect,
+  not pure data predictability;
+- **vfast**   (``dmodel.txt``, the LSQ FP32 anchor): rows at 0.277-0.347
+  need a channel faster still; at 30 km/h the slot-symbols grid brackets
+  them (``calibration_fast_ss.json``) — the cluster's slot rate is fitted
+  there and encoded in ``CLUSTERS['d_model']``.
+
+Each axis is read ONLY against runs generated at its cluster's calibration;
+every row carries the per-cluster oracle (AR(30) closed-loop rollout,
+``ar_oracle.py``) and, where the fast calibration provides it, the ensemble
+Wiener bound — so each row reads as bound <= ours vs ref.
 """
 
 from __future__ import annotations
@@ -45,24 +63,34 @@ REF_SOURCES = {
     "seq_len": "FullPrecision/Figures/sequence_len.txt (100 ep)",
     "label_len": "FullPrecision/Figures/label_length.txt (100 ep)",
     "d_ff": "FullPrecision/Figures/dff.txt (10 ep — inconsistent recipe)",
-    "d_model": "FullPrecision/Figures/dmodel.txt (50 ep — inconsistent with SNR.txt)",
+    "d_model": "FullPrecision/Figures/dmodel.txt (50 ep)",
     "attn": "FullPrecision/Figures/attn.txt (50 ep)",
     "distil": "FullPrecision/Figures/distil.txt (50 ep)",
 }
+REF_LSQ_FP32_H5 = 0.3466  # PaperFigures/LSQ/LSQ.py:44 (5th-horizon loss)
 
 BASE = dict(seq_len=90, label_len=10, d_model=128, d_ff=64, attn="full",
             distil="on")
 
-# Per-cluster calibration (DESIGN.md §9 addendum): the reference's committed
-# logs span two mutually inconsistent datasets for the same architecture. The
-# SNR/seq_len/label_len/attn campaign matches the ~5 km/h calibration; the
-# d_ff/distil campaign sits on a smoother channel whose ensemble Wiener bound
-# at SNR 21 (0.0023) matches ~3 km/h at the recovered slot geometry. Each
-# axis is read against runs generated at its cluster's calibration.
-CLUSTER_SPEED = {
-    "snr": 5.0, "seq_len": 5.0, "label_len": 5.0, "d_model": 5.0,
-    "attn": 5.0, "d_ff": 3.0, "distil": 3.0,
+# Cluster assignment per axis (see module docstring). "cal" clusters are
+# runs at CDLModel.calibrated(speed) (run names tagged ``_cal_v<speed>``);
+# the "ss" cluster is the nominal 30 km/h at a fitted slot-symbols rate
+# (names tagged ``_ss<n>``).
+CLUSTERS = {
+    "snr": dict(cal=True, speed=5.0),
+    "d_ff": dict(cal=True, speed=3.0),
+    "distil": dict(cal=True, speed=3.0),
+    "seq_len": dict(cal=True, speed=30.0),
+    "label_len": dict(cal=True, speed=30.0),
+    "attn": dict(cal=True, speed=30.0),
+    # vfast: fitted on calibration_fast_ss.json — at 30-symbol slots the
+    # LSQ FP32 anchor sits ON the bound (+0.06 dB) and the dmodel rows are
+    # feasible; 33-symbol slots already put the anchor 1.25 dB below bound
+    # (infeasible).
+    "d_model": dict(cal=False, ss=30),
 }
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
 
 def parse_name(name: str) -> dict:
@@ -84,6 +112,7 @@ def parse_name(name: str) -> dict:
         speed = float(bare[-1])
     else:
         speed = 5.5 if "_cal" in name else 30.0
+    ss = re.search(r"_ss(\d+)", name)
     return dict(
         seq_len=int(m.group(1)),
         label_len=int(m.group(2)),
@@ -94,7 +123,21 @@ def parse_name(name: str) -> dict:
         distil="off" if "_nodistil" in name else "on",
         calibrated="_cal" in name,
         speed=speed,
+        ss=int(ss.group(1)) if ss else (14 if "_cal" in name else 75),
     )
+
+
+def in_cluster(fields: dict, axis: str) -> bool:
+    spec = CLUSTERS[axis]
+    if spec["cal"]:
+        return fields["calibrated"] and fields["speed"] == spec["speed"]
+    return (not fields["calibrated"] and fields["ss"] == spec["ss"]
+            and fields["speed"] == 30.0)
+
+
+def run_in_cluster(run_name: str, axis: str) -> bool:
+    f = parse_name(str(run_name))
+    return bool(f) and in_cluster(f, axis)
 
 
 def split_mean(r: dict) -> float:
@@ -108,18 +151,75 @@ def delta_db(ours, ref):
     return 10 * math.log10(ours / ref)
 
 
+def _load(path):
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+class Bounds:
+    """Per-cluster oracle (AR rollout) + ensemble Wiener bound lookups from
+    the committed calibration artifacts."""
+
+    def __init__(self, art_dir: str):
+        self.a = art_dir
+        self._cache = {}
+        self.cal_fast = _load(os.path.join(art_dir, "calibration_fast.json"))
+        self.cal_ss = _load(os.path.join(art_dir, "calibration_fast_ss.json"))
+
+    def _oracle_file(self, name):
+        if name not in self._cache:
+            self._cache[name] = _load(os.path.join(self.a, name))
+        return self._cache[name]
+
+    def oracle(self, axis: str, val, snr) -> float | None:
+        spec = CLUSTERS[axis]
+        if spec["cal"] and spec["speed"] == 5.0:
+            name = "ar_oracle_cal_v5.json"
+        elif spec["cal"] and spec["speed"] == 3.0:
+            name = "ar_oracle_cal_v3.json"
+        elif spec["cal"]:
+            sl = val if axis == "seq_len" else 90
+            name = f"ar_oracle_cal_v30_sl{sl}.json"
+        else:
+            name = f"ar_oracle_ss{spec['ss']}.json"
+        d = self._oracle_file(name)
+        if not d:
+            return None
+        row = d["snr"].get(str(float(snr)))
+        if not row:
+            return None
+        return sum(row["split"]) / len(row["split"])
+
+    def wiener(self, axis: str, val) -> float | None:
+        if axis in ("seq_len", "label_len", "attn") and self.cal_fast:
+            grid = self.cal_fast.get("speed_grid", {}).get("30.0")
+            if grid:
+                sl = str(val) if axis == "seq_len" else "90"
+                return grid["bound_seq"].get(sl)
+        if axis == "d_model" and self.cal_ss:
+            row = self.cal_ss.get("slot_symbols_grid", {}).get(
+                str(CLUSTERS["d_model"]["ss"]))
+            if row:
+                return row.get("bound_seq90")
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="weights")
     ap.add_argument("--tag", default="r2cos",
                     help="preferred result tag for the SNR table")
-    ap.add_argument("--oracle", default=None,
-                    help="ar_oracle.json path for the predictability column")
+    ap.add_argument("--art", default=ART,
+                    help="artifacts dir holding calibration/oracle JSONs")
     ap.add_argument("--base", default=None,
                     help="previous parity.json whose rows fill in any sweep "
                          "value with no fresh result (e.g. the committed "
                          "experiments/artifacts/parity.json)")
     args = ap.parse_args()
+
+    bounds = Bounds(args.art)
 
     results = []
     for path in sorted(glob.glob(os.path.join(args.out_dir, "result_*.json"))):
@@ -130,10 +230,12 @@ def main():
             r["_fields"] = fields
             results.append(r)
 
-    # Parity rows come from the standard XLA-path recipe; kernel-A/B runs
-    # (name suffix "_pallas") are compared in their own artifact, not here.
-    cal = [r for r in results
-           if r["_fields"]["calibrated"] and "_pallas" not in r["name"]]
+    # Parity rows come from the standard XLA-path f32 recipe; kernel/dtype
+    # A/B runs (name suffixes "_pallas"/"_bf16"/"_rbg") are compared in their
+    # own artifacts, not here.
+    AB_TOKENS = ("_pallas", "_bf16", "_rbg")
+    usable = [r for r in results
+              if not any(t in r["name"] for t in AB_TOKENS)]
 
     def at_base(r, axis):
         f = r["_fields"]
@@ -144,27 +246,25 @@ def main():
                 return False
         return True
 
-    parity = {"metric": "mean NMSELossSplit over 5 horizons ('valid loss')",
+    parity = {"metric": "mean NMSELossSplit over 5 horizons ('valid loss'); "
+                        "oracle = per-cluster AR(30) rollout split-mean; "
+                        "wiener = ensemble Wiener bound (calibrate_fast)",
+              "clusters": CLUSTERS,
               "sweeps": {}}
 
     # --- SNR sweep ---
     snr_rows = {}
-    for r in cal:
+    for r in usable:
         f = r["_fields"]
-        if f["speed"] != CLUSTER_SPEED["snr"]:
+        if not in_cluster(f, "snr"):
             continue
-        if not at_base(r, None) or f["snr"] not in REFERENCE["snr"] and f["snr"] != 21:
+        if not at_base(r, None) or (f["snr"] not in REFERENCE["snr"]
+                                    and f["snr"] != 21):
             continue
         tagged = args.tag in r["name"]
         cur = snr_rows.get(f["snr"])
         if cur is None or (tagged and args.tag not in cur["name"]):
             snr_rows[f["snr"]] = r
-
-    oracle = {}
-    opath = args.oracle or os.path.join(args.out_dir, "ar_oracle.json")
-    if os.path.exists(opath):
-        with open(opath) as f:
-            oracle = {float(k): v["nmse"] for k, v in json.load(f)["snr"].items()}
 
     snr_table = {}
     for snr in sorted(snr_rows):
@@ -174,21 +274,21 @@ def main():
         snr_table[str(snr)] = {
             "ours": r["final_val_nmse"],
             "split_mean": sm,
-            "oracle": oracle.get(float(snr)),
+            "oracle": bounds.oracle("snr", snr, snr),
             "ref": ref,
             "delta_db": delta_db(sm, ref),
             "run": r["name"],
         }
     parity["sweeps"]["snr"] = {"ref_source": REF_SOURCES["snr"],
-                               "cluster_speed_kmh": CLUSTER_SPEED["snr"],
+                               "cluster": CLUSTERS["snr"],
                                "rows": snr_table}
 
     # --- hyperparameter sweeps ---
     for axis in ("seq_len", "label_len", "d_ff", "d_model", "attn", "distil"):
         rows = {}
-        for r in cal:
+        for r in usable:
             f = r["_fields"]
-            if f["speed"] != CLUSTER_SPEED[axis]:
+            if not in_cluster(f, axis):
                 continue
             if f["snr"] != 21 or not at_base(r, axis):
                 continue
@@ -205,15 +305,35 @@ def main():
             table[str(val)] = {
                 "ours": r["final_val_nmse"],
                 "split_mean": sm,
+                "oracle": bounds.oracle(axis, val, 21),
+                "wiener": bounds.wiener(axis, val),
                 "ref": ref,
                 "delta_db": delta_db(sm, ref),
                 "run": r["name"],
             }
         parity["sweeps"][axis] = {
             "ref_source": REF_SOURCES[axis],
-            "cluster_speed_kmh": CLUSTER_SPEED[axis],
+            "cluster": CLUSTERS[axis],
             "rows": table,
         }
+
+    # --- LSQ FP32 anchor (5th-horizon loss at the flagship config on the
+    # vfast cluster; PaperFigures/LSQ/LSQ.py:44 plots arr.flatten()[4]) ---
+    anchor = None
+    for r in usable:
+        f = r["_fields"]
+        if in_cluster(f, "d_model") and at_base(r, None) and f["snr"] == 21:
+            s = r.get("final_val_split")
+            if s and len(s) == 5:
+                anchor = {"ours_h5": s[4],
+                          "ref": REF_LSQ_FP32_H5,
+                          "delta_db": delta_db(s[4], REF_LSQ_FP32_H5),
+                          "run": r["name"]}
+    parity["lsq_fp32_anchor"] = {
+        "ref_source": "PaperFigures/LSQ/LSQ.py:44 (FP32 axhline, 5th horizon)",
+        "cluster": CLUSTERS["d_model"],
+        "row": anchor,
+    }
 
     # --- fill gaps from a previous round's parity.json (fresh runs win) ---
     if args.base and os.path.exists(args.base):
@@ -226,11 +346,13 @@ def main():
             for val, row in block.get("rows", {}).items():
                 if val not in ours["rows"]:
                     # Only carry rows generated at this axis' cluster
-                    # calibration (speed is encoded in the run name).
-                    sp = re.search(r"_cal_v(\d+(?:\.\d+)?)",
-                                   str(row.get("run", "")))
-                    if sp and float(sp.group(1)) != CLUSTER_SPEED.get(axis, 5.0):
+                    # calibration (geometry is encoded in the run name).
+                    if not run_in_cluster(row.get("run", ""), axis):
                         continue
+                    if row.get("oracle") is None:
+                        v = int(val) if str(val).isdigit() else val
+                        row = dict(row, oracle=bounds.oracle(
+                            axis, v, 21 if axis != "snr" else v))
                     ours["rows"][val] = dict(row, carried_from_base=True)
 
     with open(os.path.join(args.out_dir, "snr_table.json"), "w") as f:
@@ -239,23 +361,37 @@ def main():
         json.dump(parity, f, indent=2)
 
     # --- markdown ---
-    lines = ["# Parity vs reference (calibrated channel)", "",
+    lines = ["# Parity vs reference (per-cluster calibrated channel)", "",
              f"Metric: {parity['metric']}. delta_db = 10*log10(ours/ref); "
-             "negative = we beat the reference.", ""]
+             "negative = we beat the reference. 'oracle' / 'wiener' are the "
+             "cluster's own predictability bounds (every row reads as "
+             "bound <= ours vs ref).", ""]
     for axis, block in parity["sweeps"].items():
-        spd = block.get("cluster_speed_kmh")
-        cal = f" — runs at the {spd:g} km/h cluster calibration" if spd else ""
+        spec = block.get("cluster", {})
+        cal = (f" — runs at the {spec['speed']:g} km/h cluster calibration"
+               if spec.get("cal") else
+               f" — runs at 30 km/h, {spec.get('ss')}-symbol slots"
+               if spec else "")
         lines.append(f"## {axis}  \n_source: {block['ref_source']}{cal}_\n")
-        lines.append("| value | ours (split-mean) | ref | delta dB |")
-        lines.append("|---|---|---|---|")
+        lines.append("| value | bound (wiener/oracle) | ours (split-mean) "
+                     "| ref | delta dB |")
+        lines.append("|---|---|---|---|---|")
         for val, row in sorted(block["rows"].items(),
                                key=lambda kv: (len(str(kv[0])), str(kv[0]))):
             d = row["delta_db"]
+            w = row.get("wiener")
+            o = row.get("oracle")
+            b = " / ".join(f"{x:.4f}" for x in (w, o) if x is not None) or "-"
             lines.append(
-                f"| {val} | {row['split_mean']:.5f} | "
+                f"| {val} | {b} | {row['split_mean']:.5f} | "
                 f"{row['ref'] if row['ref'] is not None else '-'} | "
                 f"{f'{d:+.2f}' if d is not None else '-'} |")
         lines.append("")
+    if anchor:
+        lines.append("## LSQ FP32 anchor (5th horizon)\n")
+        lines.append(f"ours {anchor['ours_h5']:.4f} vs ref "
+                     f"{anchor['ref']} ({anchor['delta_db']:+.2f} dB) — "
+                     f"run `{anchor['run']}`\n")
     md = "\n".join(lines)
     with open(os.path.join(args.out_dir, "PARITY_RESULTS.md"), "w") as f:
         f.write(md)

@@ -81,11 +81,13 @@ def parse_args():
                         "matches the statistics of the reference repo's stored "
                         "channel pickle (lag-1 corr 0.88) and likely the "
                         "original datasets")
-    p.add_argument("--ue-speed-kmh", type=float, default=30.0,
-                   help="UE mobility (reference: 30 km/h, GenerateChannels"
-                        "FreqPreMatlab.py). Lower = smoother/more predictable "
-                        "channel (the reference's stored pickle is nearly "
-                        "AR-perfect)")
+    p.add_argument("--ue-speed-kmh", type=float, default=None,
+                   help="UE mobility (reference nominal: 30 km/h, Generate"
+                        "ChannelsFreqPreMatlab.py). Default: 30, or the "
+                        "fitted 5.5 under --calibrated. An EXPLICIT 30 with "
+                        "--calibrated selects the fast parity cluster "
+                        "(nominal mobility at the recovered slot geometry, "
+                        "run names tagged _cal_v30 — calibrate_fast.py)")
     p.add_argument("--calibrated", action="store_true",
                    help="use CDLModel.calibrated(): the parity-calibrated "
                         "slot period (160.42 us, the stored channel.pickle's "
@@ -108,6 +110,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    ue_speed = (args.ue_speed_kmh if args.ue_speed_kmh is not None
+                else (5.5 if args.calibrated else 30.0))
     cfg = InformerConfig(
         seq_len=args.seq_len,
         label_len=args.label_len,
@@ -145,7 +149,9 @@ def main():
         f"_df_{cfg.d_ff}_do_{cfg.dropout}_at_{cfg.attn}_em_fixed_ac_gelu_{int(args.snr)}"
         + ("_cal" if args.calibrated else
            (f"_ss{args.slot_symbols}" if args.slot_symbols != 75 else ""))
-        + (f"_v{args.ue_speed_kmh:g}" if args.ue_speed_kmh != 30.0 else "")
+        + (f"_v{ue_speed:g}"
+           if (args.ue_speed_kmh is not None if args.calibrated
+               else ue_speed != 30.0) else "")
         + ("_prenorm" if args.pre_norm else "")
         + ("_bf16" if args.dtype == "bfloat16" else "")
         + ("_rbg" if args.prng == "rbg" else "")
@@ -160,11 +166,10 @@ def main():
     key = jax.random.key(args.seed + 100)
     k1, k2 = jax.random.split(key)
     if args.calibrated:
-        v = args.ue_speed_kmh if args.ue_speed_kmh != 30.0 else 5.5
-        cdl = CDLModel.calibrated(ue_speed_kmh=v)
+        cdl = CDLModel.calibrated(ue_speed_kmh=ue_speed)
     else:
         cdl = CDLModel(sampling_frequency=120e3 / args.slot_symbols,
-                       ue_speed_ms=args.ue_speed_kmh / 3.6)
+                       ue_speed_ms=ue_speed / 3.6)
     train_ds = make_window_dataset(
         k1, model=cdl, num_samples=args.train_samples,
         num_slots=args.num_slots, seq_len=cfg.seq_len, pred_len=cfg.pred_len,

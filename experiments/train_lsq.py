@@ -56,7 +56,20 @@ def main():
     p.add_argument("--out", default="weights")
     args = p.parse_args()
 
+    # Merge with prior rows (weights/ copy, else the committed artifact) so
+    # an extension run (e.g. sub-8-bit nbits) widens the study instead of
+    # truncating it; write incrementally so a killed run keeps finished rows.
+    name = "lsq_fibbinary" if args.fibbinary else "lsq"
+    out_path = os.path.join(args.out, f"{name}_results.json")
+    art_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", f"{name}_results.json")
     results = {}
+    for prior in (art_path, out_path):
+        if os.path.exists(prior):
+            with open(prior) as f:
+                results.update(json.load(f))
+
+    os.makedirs(args.out, exist_ok=True)
     for nbits in range(args.nbits_min, args.nbits_max + 1):
         cfg = InformerConfig(attn="full")
         tc = TrainConfig(lr=1e-4, num_epochs=args.epochs,
@@ -105,11 +118,8 @@ def main():
             "final_val_split": [float(v) for v in history[-1]["split"]],
         }
         print(json.dumps(results[tag]))
-
-    os.makedirs(args.out, exist_ok=True)
-    name = "lsq_fibbinary" if args.fibbinary else "lsq"
-    with open(os.path.join(args.out, f"{name}_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
