@@ -9,7 +9,8 @@ for f in snr_table.json parity.json PARITY_RESULTS.md runtime.json \
          lsq_results.json lsq_fibbinary_results.json ptq_results.json \
          e2e_results.json e2e_coded_conv.json e2e_coded_ldpc.json \
          e2e_ls.json e2e_time.json prune_results.json \
-         streaming_results.json perf_study.json; do
+         streaming_results.json perf_study.json step_profile.json \
+         int8_scale_ab.json; do
   [ -f "weights/$f" ] && cp "weights/$f" experiments/artifacts/
 done
 cp weights/qat_*.json experiments/artifacts/ 2>/dev/null
