@@ -250,6 +250,75 @@ def main():
             fig.savefig(out, dpi=150)
             made.append(out)
 
+    # Per-cluster parity: seq_len sweep vs reference with the cluster's own
+    # bounds (round-4 fast-cluster closure; DESIGN.md §13).
+    par = os.path.join(args.weights_dir, "parity.json")
+    if os.path.exists(par):
+        with open(par) as f:
+            sweeps = json.load(f).get("sweeps", {})
+        blk = sweeps.get("seq_len", {})
+        rows = blk.get("rows", {})
+        if rows:
+            sls = sorted(int(k) for k in rows)
+            def _col(key):
+                return [rows[str(s)].get(key) for s in sls]
+            fig, ax = plt.subplots(figsize=(5, 3.5))
+            ax.plot(sls, [10 * np.log10(v) for v in _col("split_mean")],
+                    "o-", label="ours (100 ep)")
+            ax.plot(sls, [10 * np.log10(v) for v in _col("ref")],
+                    "s-", label="reference (A100 logs)")
+            wb = _col("wiener")
+            if all(v is not None for v in wb):
+                ax.plot(sls, [10 * np.log10(v) for v in wb], "k--",
+                        label="ensemble Wiener bound")
+            ob = _col("oracle")
+            if all(v is not None for v in ob):
+                ax.plot(sls, [10 * np.log10(v) for v in ob], ":",
+                        color="gray", label="AR(30) rollout")
+            ax.set_xlabel("sequence length [slots]")
+            ax.set_ylabel("val NMSE [dB]")
+            ax.set_xticks(sls)
+            ax.legend(fontsize=8)
+            ax.grid(True, alpha=0.3)
+            ax.set_title("fast cluster (30 km/h at recovered slot geometry)",
+                         fontsize=9)
+            fig.tight_layout()
+            out = os.path.join(args.out, "seq_len_parity.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
+    # Coded link: conv vs QC-LDPC BER/BLER at matched rate 1/2 (the
+    # reference's FEC is 5G LDPC; KerasFullSimulation.py:139-151).
+    conv_p = os.path.join(args.weights_dir, "e2e_coded_conv.json")
+    ldpc_p = os.path.join(args.weights_dir, "e2e_coded_ldpc.json")
+    if os.path.exists(conv_p) and os.path.exists(ldpc_p):
+        with open(conv_p) as f:
+            conv = json.load(f)
+        with open(ldpc_p) as f:
+            ldpc = json.load(f)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2))
+        for data, fec, style in ((conv, "conv K=7", "o-"),
+                                 (ldpc, "QC-LDPC n=648", "s--")):
+            for src in ("perfect", "predicted"):
+                if src in data.get("ber", {}):
+                    ax1.semilogy(data["ebno_db"],
+                                 np.maximum(data["ber"][src], 1e-6),
+                                 style, label=f"{fec} / {src}", ms=4)
+                if src in data.get("bler", {}):
+                    ax2.semilogy(data["ebno_db"],
+                                 np.maximum(data["bler"][src], 1e-6),
+                                 style, label=f"{fec} / {src}", ms=4)
+        for ax, ylab in ((ax1, "coded BER"), (ax2, "BLER")):
+            ax.set_xlabel("Eb/N0 [dB]")
+            ax.set_ylabel(ylab)
+            ax.legend(fontsize=7)
+            ax.grid(True, which="both", alpha=0.3)
+        fig.suptitle("coded link: conv vs LDPC, rate 1/2 QPSK", fontsize=10)
+        fig.tight_layout()
+        out = os.path.join(args.out, "coded_conv_vs_ldpc.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
     # Loss curves from any text logs given.
     parsed = {}
     for logpath in args.logs:
