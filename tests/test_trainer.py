@@ -3,6 +3,7 @@
 SURVEY §4: the integration test is a tiny train run reaching a loss threshold.
 """
 
+import dataclasses
 import io
 
 import jax
@@ -190,3 +191,15 @@ def test_crash_resume_is_step_exact(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     assert np.isclose(hist_a[-1]["nmse"], hist_c[-1]["nmse"])
+
+
+def test_rbg_prng_impl_trains():
+    """TrainConfig.prng_impl='rbg' (the canonical fast config's hardware-RBG
+    key stream) must thread through fit()'s window/AWGN/dropout streams and
+    still train (bench.py/perf_study use the same knob)."""
+    trainer, _ = _tiny_setup()
+    trainer.train_cfg = dataclasses.replace(trainer.train_cfg, prng_impl="rbg",
+                                            num_epochs=3)
+    history = trainer.fit()
+    assert len(history) == 3
+    assert all(h["nmse"] == h["nmse"] for h in history)  # finite, no NaN
