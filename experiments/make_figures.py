@@ -319,6 +319,70 @@ def main():
         fig.savefig(out, dpi=150)
         made.append(out)
 
+    # Round-4: flagship step-time breakdown (VERDICT r3 §6 roofline evidence).
+    sp = os.path.join(args.weights_dir, "step_profile.json")
+    if os.path.exists(sp):
+        with open(sp) as f:
+            prof = json.load(f)
+        rows = {k: v for k, v in prof.get("rows", {}).items()
+                if "ms_per_step" in v}
+        if rows:
+            order = [k for k in (
+                "baseline_f32_xla", "canonical_bf16_bd_rbg",
+                "canonical_fuse_qkv", "fwd_only_canonical", "no_distil",
+                "no_dropout", "single_stack", "batch_512", "batch_1024",
+                "batch_1024_fuse") if k in rows]
+            fig, ax = plt.subplots(figsize=(6.5, 3.6))
+            vals = [rows[k]["ms_per_step"] for k in order]
+            ax.barh(range(len(order)), vals, height=0.6)
+            ax.set_yticks(range(len(order)))
+            ax.set_yticklabels(order, fontsize=7)
+            ax.invert_yaxis()
+            ax.set_xlabel("ms / train step (batch 256 unless noted)")
+            for i, v in enumerate(vals):
+                ax.text(v, i, f" {v:.1f}", va="center", fontsize=7)
+            note = prof.get("batch_scaling_note")
+            if note:
+                ax.set_title(note, fontsize=8)
+            ax.grid(True, axis="x", alpha=0.3)
+            fig.tight_layout()
+            out = os.path.join(args.out, "step_profile.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
+    # Round-4: int8 serving latency at production sizes.
+    i8s = os.path.join(args.weights_dir, "int8_scale_ab.json")
+    if os.path.exists(i8s):
+        with open(i8s) as f:
+            rows = [r for r in json.load(f) if "error" not in r]
+        if rows:
+            names = [r["config"] for r in rows]
+            x = np.arange(len(rows))
+            fig, ax = plt.subplots(figsize=(6, 3.4))
+            for i, (variant, label) in enumerate(
+                    (("float32", "f32"), ("bfloat16", "bf16"),
+                     ("int8", "W8A8 int8"))):
+                ax.bar(x + (i - 1) * 0.25, [r[f"ms_{variant}"] for r in rows],
+                       width=0.25, label=label)
+            for xi, r in zip(x, rows):
+                ax.text(xi + 0.25, r["ms_int8"],
+                        f" ×{r['int8_speedup_vs_f32']:.2f}",
+                        ha="center", va="bottom", fontsize=7, rotation=90)
+            ax.set_xticks(x)
+            ax.set_xticklabels(
+                [f"{n}\n(dm{r['d_model']})" for n, r in zip(names, rows)],
+                fontsize=8)
+            ax.set_ylabel("inference ms / forward")
+            ax.set_yscale("log")
+            ax.legend(fontsize=8)
+            ax.grid(True, axis="y", which="both", alpha=0.3)
+            ax.set_title("W8A8 int8 serving vs model size (speedup vs f32)",
+                         fontsize=9)
+            fig.tight_layout()
+            out = os.path.join(args.out, "int8_scale_ab.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
     # Loss curves from any text logs given.
     parsed = {}
     for logpath in args.logs:
