@@ -287,6 +287,42 @@ def main():
             fig.savefig(out, dpi=150)
             made.append(out)
 
+    # Round-4: all-axes parity delta overview (one bar per reference row,
+    # grouped by sweep axis, each read against its own cluster calibration).
+    if os.path.exists(par):
+        with open(par) as f:
+            pj = json.load(f)
+        bars = []  # (label, delta_db, axis)
+        for axis, block in pj.get("sweeps", {}).items():
+            spec = block.get("cluster", {}) or {}
+            tag = (f"{spec['speed']:g}km/h" if spec.get("cal")
+                   else f"ss{spec.get('ss')}" if spec else "?")
+            for val, row in sorted(block.get("rows", {}).items(),
+                                   key=lambda kv: (len(kv[0]), kv[0])):
+                if row.get("delta_db") is not None:
+                    bars.append((f"{axis}={val} [{tag}]",
+                                 row["delta_db"], axis))
+        anch = (pj.get("lsq_fp32_anchor") or {}).get("row")
+        if anch and anch.get("delta_db") is not None:
+            bars.append(("lsq_fp32_anchor [ss30]", anch["delta_db"], "lsq"))
+        if bars:
+            fig, ax = plt.subplots(figsize=(6.5, 0.28 * len(bars) + 1.2))
+            ypos = range(len(bars))
+            colors = ["#2a7" if d <= 0 else "#c44" for _, d, _ in bars]
+            ax.barh(ypos, [d for _, d, _ in bars], color=colors, height=0.65)
+            ax.set_yticks(list(ypos))
+            ax.set_yticklabels([l for l, _, _ in bars], fontsize=7)
+            ax.invert_yaxis()
+            ax.axvline(0, color="k", lw=0.8)
+            ax.set_xlabel("delta vs reference [dB]  (negative = ours better)")
+            ax.grid(True, axis="x", alpha=0.3)
+            ax.set_title("per-row parity vs reference, each at its own "
+                         "cluster calibration", fontsize=9)
+            fig.tight_layout()
+            out = os.path.join(args.out, "parity_deltas.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
     # Coded link: conv vs QC-LDPC BER/BLER at matched rate 1/2 (the
     # reference's FEC is 5G LDPC; KerasFullSimulation.py:139-151).
     conv_p = os.path.join(args.weights_dir, "e2e_coded_conv.json")
