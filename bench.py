@@ -37,12 +37,14 @@ def main():
     # hardware and the exactness test suite). CETPU_BENCH_PALLAS=0 reverts
     # to the pure-XLA path.
     use_pallas = os.environ.get("CETPU_BENCH_PALLAS", "1") == "1"
-    # Activation dtype + PRNG impl knobs (perf_study train_step A/B):
-    # bfloat16 activations halve HBM traffic on the latency-bound step, and
-    # rbg keys replace the threefry ALU ladder with the TPU hardware
-    # generator for the ~20M randoms/step (sampling + AWGN + dropout).
-    dtype = os.environ.get("CETPU_BENCH_DTYPE", "float32")
-    prng = os.environ.get("CETPU_BENCH_PRNG", "threefry2x32")
+    # Activation dtype + PRNG impl knobs: bfloat16 activations halve HBM
+    # traffic on the latency-bound step, and rbg keys replace the threefry
+    # ALU ladder with the TPU hardware generator for the ~20M randoms/step
+    # (sampling + AWGN + dropout). bf16+rbg is the canonical default since
+    # the identical-recipe 150-epoch training A/B measured it quality-equal
+    # (-0.09 dB, i.e. slightly better; experiments/artifacts/canon_ab.json).
+    dtype = os.environ.get("CETPU_BENCH_DTYPE", "bfloat16")
+    prng = os.environ.get("CETPU_BENCH_PRNG", "rbg")
     cfg = InformerConfig(use_pallas=use_pallas, dtype=dtype)  # reference FullPrecision effective config
     tc = TrainConfig()
     model = build_informer(cfg)
