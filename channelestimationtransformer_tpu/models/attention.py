@@ -98,13 +98,34 @@ def prob_sparse_attention(
     # --- _prob_QK (reference attn.py:101-126) ---
     # One shared [L_Q, sample_k] index draw across batch/heads, like torch.randint.
     index_sample = jax.random.randint(sample_rng, (l_q, sample_k), 0, l_k)
-    k_sample = k_[:, :, index_sample]  # [B, H, L_Q, sample_k, E]
-    qk_sample = jnp.einsum("bhle,bhlse->bhls", q_, k_sample)
+    if l_k <= 256:
+        # Short sequences (the whole reference regime): computing the DENSE
+        # QK^T is one MXU matmul at the same cost as full attention, and the
+        # sampled scores are a [.., L_Q, sample_k] gather from it — identical
+        # math to gathering K vectors first (qk[l, s] = q_l . k_{idx[l,s]}),
+        # but it avoids materializing the [B, H, L_Q, sample_k, E] key tensor
+        # (~sample_k/L_K x the dense scores' footprint; ~300 MB/layer at the
+        # flagship config), which made this path gather-bound on TPU.
+        qk_full = jnp.einsum("bhle,bhse->bhls", q_, k_)  # [B, H, L_Q, L_K]
+        qk_sample = jnp.take_along_axis(
+            qk_full, index_sample[None, None], axis=-1
+        )  # [B, H, L_Q, sample_k]
+    else:
+        # Long sequences: stay O(L * sample_k * E); gather K vectors.
+        k_sample = k_[:, :, index_sample]  # [B, H, L_Q, sample_k, E]
+        qk_sample = jnp.einsum("bhle,bhlse->bhls", q_, k_sample)
     m = jnp.max(qk_sample, axis=-1) - jnp.sum(qk_sample, axis=-1) / l_k
     _, m_top = jax.lax.top_k(m, n_top)  # [B, H, n_top]
 
-    q_reduce = jnp.take_along_axis(q_, m_top[..., None], axis=2)  # [B,H,n_top,E]
-    scores = jnp.einsum("bhue,bhke->bhuk", q_reduce, k_)  # [B,H,n_top,L_K]
+    if l_k <= 256:
+        # Rows of the dense QK^T at the selected queries — no second matmul.
+        scores = jnp.take_along_axis(
+            qk_full, jnp.broadcast_to(m_top[..., None], (b, h, n_top, l_k)),
+            axis=2,
+        )  # [B, H, n_top, L_K]
+    else:
+        q_reduce = jnp.take_along_axis(q_, m_top[..., None], axis=2)
+        scores = jnp.einsum("bhue,bhke->bhuk", q_reduce, k_)  # [B,H,n_top,L_K]
 
     scale = scale if scale is not None else 1.0 / math.sqrt(e)
     scores = scores * scale

@@ -123,3 +123,50 @@ def test_prob_attention_masked_full_factor_matches_causal_dense():
     np.testing.assert_allclose(
         np.asarray(out), _np_attention(q, k, v, causal=True), rtol=2e-4, atol=2e-5
     )
+
+
+def test_prob_attention_dense_gather_matches_key_gather():
+    """The short-sequence dense-QK^T gather formulation must be numerically
+    equivalent to the long-sequence key-gather formulation (identical math:
+    qk[l, s] = q_l . k_{idx[l, s]}); the threshold at l_k=256 only switches
+    the compute layout, never the result."""
+
+    rng = np.random.default_rng(7)
+    q, k, v = _qkv(rng, b=2, l=300, s=300, h=2, e=8)  # l_k > 256: key-gather
+    key = jax.random.key(3)
+    long_out, _ = prob_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_flag=False, factor=3, sample_rng=key,
+    )
+    # Dense-gather path: l_k exactly at the 256 boundary.
+    q2, k2, v2 = _qkv(rng, b=2, l=256, s=256, h=2, e=8)
+    dense_out, _ = prob_sparse_attention(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+        mask_flag=False, factor=3, sample_rng=key,
+    )
+    # Oracle: key-gather formulation computed in NumPy with the same RNG draw.
+    l_q = l_k = 256
+    sample_k = min(3 * math.ceil(math.log(l_k)), l_k)
+    n_top = min(3 * math.ceil(math.log(l_q)), l_q)
+    idx = np.asarray(jax.random.randint(key, (l_q, sample_k), 0, l_k))
+    q_ = np.swapaxes(q2, 1, 2)
+    k_ = np.swapaxes(k2, 1, 2)
+    v_ = np.swapaxes(v2, 1, 2)
+    k_s = k_[:, :, idx]
+    qk = np.einsum("bhle,bhlse->bhls", q_, k_s)
+    m = qk.max(-1) - qk.sum(-1) / l_k
+    m_top = np.argsort(-m, axis=-1, kind="stable")[..., :n_top]
+    # (top_k ties can reorder; compare the *context output*, which is
+    # permutation-invariant in the selected set.)
+    scores = np.einsum(
+        "bhue,bhke->bhuk", np.take_along_axis(q_, m_top[..., None], 2), k_
+    ) / math.sqrt(8)
+    a = np.exp(scores - scores.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    upd = np.einsum("bhuk,bhkd->bhud", a, v_)
+    ctx = np.broadcast_to(v_.mean(-2, keepdims=True), v_.shape).copy()
+    np.put_along_axis(ctx, np.broadcast_to(m_top[..., None], upd.shape), upd, 2)
+    np.testing.assert_allclose(
+        np.asarray(dense_out), np.swapaxes(ctx, 1, 2), rtol=2e-4, atol=2e-5
+    )
+    assert long_out.shape == (2, 300, 2, 8)
