@@ -15,11 +15,17 @@ TPU-native design notes:
   expressed as XOR/roll on ``[z]``-sized blocks (``jnp.roll`` = circulant
   shift), so encoding is a fixed sequence of rolls and XORs — fully jittable,
   no bit-packing loops.
-- The decoder is edge-parallel: messages live on a static edge list; check
-  updates use the two-min trick via ``jax.ops.segment_min`` and sign products
-  via segment sums of sign bits; variable updates are ``segment_sum``s. A
-  fixed ``num_iters`` ``lax.scan`` keeps shapes static (no early exit — on
-  TPU the iterations are cheap and uniform).
+- The decoder keeps messages in a **dense padded check layout**
+  ``[n_checks, dc_max]`` (every check of a QC block row has the same degree,
+  so padding is minimal): check updates are row-wise two-min + sign-parity
+  reductions over a tiny static axis, and variable updates **gather** each
+  variable's incident messages via a precomputed ``[n_vars, dv_max]`` index
+  table. No scatter and no ``segment_*`` ops anywhere — gathers and small-
+  axis reductions are the layouts TPUs like, and unsorted-segment scatters
+  miscompiled on the experimental axon TPU runtime (decode diverged on
+  hardware while being correct on CPU; the dense formulation is exact on
+  both). A fixed ``num_iters`` ``lax.scan`` keeps shapes static (no early
+  exit — on TPU the iterations are cheap and uniform).
 - ``vmap`` over codewords batches the whole decode.
 """
 
@@ -147,101 +153,101 @@ def ldpc_encode(code: QCLDPC, info_bits: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _edge_list(code: QCLDPC):
-    """Static (check_idx, var_idx) arrays for every 1 in the lifted H."""
-    checks, vars_ = [], []
+def _dense_adjacency(code: QCLDPC):
+    """Padded adjacency tables for the gather-only decoder.
+
+    Returns ``(check_vars [n_checks, dc_max] int, valid [n_checks, dc_max]
+    bool, var_edges [n_vars, dv_max] int)`` where ``check_vars[c, j]`` is the
+    variable on slot j of check c (pad 0, masked by ``valid``) and
+    ``var_edges[v, i]`` indexes the flattened ``[n_checks*dc_max]`` message
+    array (pad = n_checks*dc_max, pointing at an appended zero entry).
+    """
     z = code.z
-    for i, row in enumerate(code.proto):
-        for j, s in enumerate(row):
-            if s < 0:
-                continue
+    block_cols = [[(j, s) for j, s in enumerate(row) if s >= 0]
+                  for row in code.proto]
+    dc_max = max(len(c) for c in block_cols)
+    n_checks = code.mb * z
+    check_vars = np.zeros((n_checks, dc_max), np.int64)
+    valid = np.zeros((n_checks, dc_max), bool)
+    for i, cols in enumerate(block_cols):
+        for slot, (j, s) in enumerate(cols):
             for r in range(z):
-                checks.append(i * z + r)
-                vars_.append(j * z + (r + s) % z)
-    return np.asarray(checks), np.asarray(vars_)
+                check_vars[i * z + r, slot] = j * z + (r + s) % z
+                valid[i * z + r, slot] = True
+    lists: list = [[] for _ in range(code.n)]
+    for c in range(n_checks):
+        for slot in range(dc_max):
+            if valid[c, slot]:
+                lists[check_vars[c, slot]].append(c * dc_max + slot)
+    dv_max = max(len(l) for l in lists)
+    var_edges = np.full((code.n, dv_max), n_checks * dc_max, np.int64)
+    for v, l in enumerate(lists):
+        var_edges[v, : len(l)] = l
+    return check_vars, valid, var_edges
 
 
 @partial(jax.jit, static_argnames=("code", "num_iters", "alpha"))
 def ldpc_decode(code: QCLDPC, llr: jnp.ndarray, num_iters: int = 25,
                 alpha: float = 0.75) -> jnp.ndarray:
-    """Normalized min-sum decoding.
+    """Normalized min-sum decoding (dense check layout, gather-only).
 
     ``llr``: float [..., n], positive favors bit 0 (matches
     :func:`.qam.qam_llr`). Returns hard-decision info bits int [..., k].
     """
-    checks_np, vars_np = _edge_list(code)
-    checks = jnp.asarray(checks_np)
-    vars_ = jnp.asarray(vars_np)
-    n_checks = code.mb * code.z
-    n_vars = code.n
-    n_edges = checks.shape[0]
+    cv_np, valid_np, ve_np = _dense_adjacency(code)
+    cv = jnp.asarray(cv_np)          # [n_checks, dc_max]
+    valid = jnp.asarray(valid_np)
+    var_edges = jnp.asarray(ve_np)   # [n_vars, dv_max]
 
     lead = llr.shape[:-1]
-    flat = llr.reshape(-1, n_vars)
+    flat = llr.reshape(-1, code.n)
+
+    def check_update(v2c):
+        """v2c [n_checks, dc_max] -> c2v (invalid slots produce 0)."""
+        mag = jnp.where(valid, jnp.abs(v2c), jnp.inf)
+        sgn = jnp.where(valid & (v2c < 0), 1, 0)
+        s_tot = jnp.sum(sgn, axis=1) % 2                       # parity
+        m1 = jnp.min(mag, axis=1)
+        is_min = (mag <= m1[:, None]) & valid
+        big = jnp.where(is_min, jnp.inf, mag)
+        m2 = jnp.min(big, axis=1)
+        # Outgoing magnitude excluding self: non-min slots see m1; a UNIQUE
+        # min slot sees m2; tied-min slots see m1 (the other tie).
+        cnt = jnp.sum(is_min.astype(jnp.int32), axis=1)
+        out_mag = jnp.where(
+            is_min & (cnt[:, None] == 1), m2[:, None], m1[:, None]
+        )
+        out_sgn = (s_tot[:, None] + sgn) % 2
+        c2v = alpha * jnp.where(out_sgn == 1, -out_mag, out_mag)
+        return jnp.where(valid & jnp.isfinite(c2v), c2v, 0.0)
+
+    def var_sum(c2v):
+        """Per-variable sum of incident c2v messages — pure gather."""
+        flatc = jnp.concatenate([c2v.reshape(-1), jnp.zeros((1,), c2v.dtype)])
+        return jnp.sum(flatc[var_edges], axis=1)               # [n_vars]
 
     def decode_one(chan):
         def bp_iter(v2c, _):
-            # --- check update (two-min trick + sign product) ---
-            mag = jnp.abs(v2c)
-            sgn = jnp.where(v2c < 0, 1, 0)
-            # total sign per check (parity of negatives)
-            s_tot = jax.ops.segment_sum(sgn, checks, num_segments=n_checks) % 2
-            # first and second minima per check
-            m1 = jax.ops.segment_min(mag, checks, num_segments=n_checks)
-            is_min = mag <= m1[checks]
-            big = jnp.where(is_min, jnp.inf, mag)
-            m2 = jax.ops.segment_min(big, checks, num_segments=n_checks)
-            # outgoing magnitude: excluding self. Non-min edges see m1; a
-            # UNIQUE min edge sees m2; tied-min edges see m1 (the other tie).
-            cnt = jax.ops.segment_sum(
-                is_min.astype(jnp.int32), checks, num_segments=n_checks
-            )
-            out_mag = jnp.where(
-                is_min & (cnt[checks] == 1), m2[checks], m1[checks]
-            )
-            # outgoing sign: total parity minus own sign
-            out_sgn = (s_tot[checks] + sgn) % 2
-            c2v = alpha * jnp.where(out_sgn == 1, -out_mag, out_mag)
-            c2v = jnp.where(jnp.isfinite(c2v), c2v, 0.0)
-
-            # --- variable update ---
-            v_tot = chan + jax.ops.segment_sum(c2v, vars_, num_segments=n_vars)
-            v2c_new = v_tot[vars_] - c2v
+            c2v = check_update(v2c)
+            v_tot = chan + var_sum(c2v)
+            v2c_new = v_tot[cv] - c2v                          # [n_checks, dc_max]
             return v2c_new, None
 
-        v2c0 = chan[vars_]
-        v2c, _ = jax.lax.scan(bp_iter, v2c0, None, length=num_iters)
-        # final posterior
-        # re-run one check update to get c2v from the final v2c
-        mag = jnp.abs(v2c)
-        sgn = jnp.where(v2c < 0, 1, 0)
-        s_tot = jax.ops.segment_sum(sgn, checks, num_segments=n_checks) % 2
-        m1 = jax.ops.segment_min(mag, checks, num_segments=n_checks)
-        is_min = mag <= m1[checks]
-        big = jnp.where(is_min, jnp.inf, mag)
-        m2 = jax.ops.segment_min(big, checks, num_segments=n_checks)
-        cnt = jax.ops.segment_sum(
-            is_min.astype(jnp.int32), checks, num_segments=n_checks
-        )
-        out_mag = jnp.where(is_min & (cnt[checks] == 1), m2[checks], m1[checks])
-        out_sgn = (s_tot[checks] + sgn) % 2
-        c2v = alpha * jnp.where(out_sgn == 1, -out_mag, out_mag)
-        c2v = jnp.where(jnp.isfinite(c2v), c2v, 0.0)
-        posterior = chan + jax.ops.segment_sum(c2v, vars_, num_segments=n_vars)
+        v2c, _ = jax.lax.scan(bp_iter, chan[cv], None, length=num_iters)
+        posterior = chan + var_sum(check_update(v2c))
         return (posterior < 0).astype(jnp.int32)
 
     hard = jax.vmap(decode_one)(flat)
-    return hard.reshape(*lead, n_vars)[..., : code.k]
+    return hard.reshape(*lead, code.n)[..., : code.k]
 
 
 def ldpc_syndrome(code: QCLDPC, codeword: jnp.ndarray) -> jnp.ndarray:
     """H @ c mod 2 (all-zero iff ``codeword`` is valid) — test/debug helper."""
-    checks_np, vars_np = _edge_list(code)
+    cv_np, valid_np, _ = _dense_adjacency(code)
+    cv = jnp.asarray(cv_np)
+    valid = jnp.asarray(valid_np)
     flat = codeword.reshape(-1, code.n)
     syn = jax.vmap(
-        lambda c: jax.ops.segment_sum(
-            c[jnp.asarray(vars_np)], jnp.asarray(checks_np),
-            num_segments=code.mb * code.z,
-        ) % 2
+        lambda c: jnp.sum(jnp.where(valid, c[cv], 0), axis=1) % 2
     )(flat)
     return syn.reshape(*codeword.shape[:-1], code.mb * code.z)
