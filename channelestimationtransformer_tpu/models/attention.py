@@ -107,9 +107,15 @@ def prob_sparse_attention(
         # (~sample_k/L_K x the dense scores' footprint; ~300 MB/layer at the
         # flagship config), which made this path gather-bound on TPU.
         qk_full = jnp.einsum("bhle,bhse->bhls", q_, k_)  # [B, H, L_Q, L_K]
-        qk_sample = jnp.take_along_axis(
-            qk_full, index_sample[None, None], axis=-1
-        )  # [B, H, L_Q, sample_k]
+        # Select the sampled scores with a one-hot contraction, not a gather:
+        # the VJP of einsum is einsum (dense MXU work), while gather's VJP is
+        # a scatter-add — and unsorted scatters both hang Mosaic compiles and
+        # miscompile on the experimental axon TPU runtime (same family as the
+        # LDPC segment-op bug, sim/ldpc.py). onehot is static [L_Q, sample_k,
+        # L_K] built once per trace.
+        onehot = (index_sample[..., None]
+                  == jnp.arange(l_k)[None, None]).astype(q_.dtype)
+        qk_sample = jnp.einsum("bhlk,lsk->bhls", qk_full, onehot)
     else:
         # Long sequences: stay O(L * sample_k * E); gather K vectors.
         k_sample = k_[:, :, index_sample]  # [B, H, L_Q, sample_k, E]
@@ -118,11 +124,12 @@ def prob_sparse_attention(
     _, m_top = jax.lax.top_k(m, n_top)  # [B, H, n_top]
 
     if l_k <= 256:
-        # Rows of the dense QK^T at the selected queries — no second matmul.
-        scores = jnp.take_along_axis(
-            qk_full, jnp.broadcast_to(m_top[..., None], (b, h, n_top, l_k)),
-            axis=2,
-        )  # [B, H, n_top, L_K]
+        # Rows of the dense QK^T at the selected queries — one-hot einsum for
+        # the same scatter-free-VJP reason as above (m_top is data-dependent
+        # per (b, h), so its one-hot is [B, H, n_top, L_Q]).
+        sel = (m_top[..., None]
+               == jnp.arange(l_q)[None, None, None]).astype(q_.dtype)
+        scores = jnp.einsum("bhul,bhlk->bhuk", sel, qk_full)  # [B,H,n_top,L_K]
     else:
         q_reduce = jnp.take_along_axis(q_, m_top[..., None], axis=2)
         scores = jnp.einsum("bhue,bhke->bhuk", q_reduce, k_)  # [B,H,n_top,L_K]
