@@ -8,6 +8,7 @@ one JSON line. Baseline: the reference's A100 training throughput of
 """
 
 import json
+import statistics
 import time
 
 import jax
@@ -64,14 +65,24 @@ def main():
         snr_db=21.0,
     )
 
-    # Warmup / compile.
+    # Warmup / compile (two chunks: the first compiles, the second warms the
+    # donated-state steady path).
     key = jax.random.key(1, impl=prng)
-    steps = 113  # half a reference epoch per dispatch
-    state, m = train_chunk(state, h, key, num_steps=steps, **kwargs)
+    steps = 28  # quarter-epoch chunks, timed individually for a median
+    for i in range(2):
+        state, m = train_chunk(
+            state, h, jax.random.fold_in(key, 1000 + i), num_steps=steps, **kwargs
+        )
     float(m["loss_sum"])
 
-    t0 = time.perf_counter()
-    for i in range(4):
+    # Median over many independently-timed chunks instead of a mean over few:
+    # the axon tunnel's round-trip latency drifts on minute timescales
+    # (BENCH.md r02 post-mortem; experiments/interleaved_ab.py), and a mean is
+    # polluted by any one slow chunk. 12 x 28-step chunks = 3,072 samples per
+    # timing point, median-of-12 is robust to drift spikes in either tail.
+    times = []
+    for i in range(12):
+        t0 = time.perf_counter()
         state, m = train_chunk(
             state, h, jax.random.fold_in(key, i), num_steps=steps, **kwargs
         )
@@ -79,7 +90,8 @@ def main():
         # returns BEFORE execution finishes (verified: it inflates throughput
         # 50-150x); fetching the value is the only reliable barrier.
         float(m["loss_sum"])
-    dt = (time.perf_counter() - t0) / 4
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
 
     samples_per_s = steps * tc.batch_size / dt
     baseline = 3370.0  # A100 80GB, reference FullPrecision/Figures/SNR.txt
@@ -90,6 +102,13 @@ def main():
                 "value": round(samples_per_s, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_s / baseline, 3),
+                # Self-describing knobs so historical BENCH_r0N.json artifacts
+                # stay comparable when defaults move (ADVICE r4).
+                "dtype": dtype,
+                "prng": prng,
+                "use_pallas": use_pallas,
+                "method": "median_of_12x28step_chunks",
+                "chunk_ms_spread": [round(t * 1000, 1) for t in sorted(times)],
             }
         )
     )

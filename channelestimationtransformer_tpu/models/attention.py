@@ -26,6 +26,12 @@ import flax.linen as nn
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# ProbSparse layout switch: at/below this key length the dense QK^T is
+# computed once on the MXU and sampled rows are *selected* from it
+# (scatter-free one-hot einsums); above it, keys are gathered per query to
+# stay O(L * sample_k * E) in memory.
+DENSE_SCORES_MAX_LK = 256
+
 
 def causal_mask(l_q: int, l_k: int) -> jnp.ndarray:
     """Boolean [l_q, l_k] mask, True where attention is DISALLOWED (strict upper
@@ -73,6 +79,7 @@ def prob_sparse_attention(
     factor: int,
     sample_rng: jax.Array,
     scale: Optional[float] = None,
+    dense_layout: Optional[bool] = None,
 ):
     """ProbSparse attention (reference ``ProbAttention``, ``attn.py:85-187``).
 
@@ -98,7 +105,12 @@ def prob_sparse_attention(
     # --- _prob_QK (reference attn.py:101-126) ---
     # One shared [L_Q, sample_k] index draw across batch/heads, like torch.randint.
     index_sample = jax.random.randint(sample_rng, (l_q, sample_k), 0, l_k)
-    if l_k <= 256:
+    # ``dense_layout`` overrides the threshold (used by the crossover
+    # measurement, experiments/prob_crossover.py); both layouts are
+    # numerically identical (tests/test_attention.py oracle).
+    use_dense = (l_k <= DENSE_SCORES_MAX_LK if dense_layout is None
+                 else dense_layout)
+    if use_dense:
         # Short sequences (the whole reference regime): computing the DENSE
         # QK^T is one MXU matmul at the same cost as full attention, and the
         # sampled scores are a [.., L_Q, sample_k] gather from it — identical
@@ -123,7 +135,7 @@ def prob_sparse_attention(
     m = jnp.max(qk_sample, axis=-1) - jnp.sum(qk_sample, axis=-1) / l_k
     _, m_top = jax.lax.top_k(m, n_top)  # [B, H, n_top]
 
-    if l_k <= 256:
+    if use_dense:
         # Rows of the dense QK^T at the selected queries — one-hot einsum for
         # the same scatter-free-VJP reason as above (m_top is data-dependent
         # per (b, h), so its one-hot is [B, H, n_top, L_Q]).
@@ -153,14 +165,28 @@ def prob_sparse_attention(
         scores = jnp.where(gathered_mask, NEG_INF, scores)
     attn = jax.nn.softmax(scores, axis=-1)
     update = jnp.einsum("bhuk,bhkd->bhud", attn, v_)
-    d_v = v_.shape[-1]
-    context = jnp.put_along_axis(
-        context,
-        jnp.broadcast_to(m_top[..., None], (*m_top.shape, d_v)),
-        update.astype(context.dtype),
-        axis=2,
-        inplace=False,
-    )
+    if use_dense:
+        # Scatter-free write-back: the r5 profile (experiments/artifacts/
+        # prob_profile.json) measured the put_along_axis scatter at ~27 ms
+        # fwd+bwd per encoder call on TPU v5e — 8x the REST of the op
+        # combined, and x10 prob layers it was the entire 240 ms/batch gap to
+        # the A100 prob baseline. `sel` (the [B, H, n_top, L_Q] query one-hot
+        # built above) turns the row write into two einsums on the MXU:
+        # rows in the selected set get `update`, the rest keep `context`.
+        # top_k indices are distinct, so `in_sel` is exactly 0/1.
+        in_sel = jnp.einsum("bhul->bhl", sel)
+        scattered = jnp.einsum("bhul,bhud->bhld", sel, update)
+        context = (context * (1.0 - in_sel)[..., None]
+                   + scattered).astype(context.dtype)
+    else:
+        d_v = v_.shape[-1]
+        context = jnp.put_along_axis(
+            context,
+            jnp.broadcast_to(m_top[..., None], (*m_top.shape, d_v)),
+            update.astype(context.dtype),
+            axis=2,
+            inplace=False,
+        )
     return jnp.swapaxes(context, 1, 2), None  # back to [B, L, H, E]
 
 

@@ -111,21 +111,51 @@ def int8_dense_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
-def int8_circular_conv_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+def int8_dense_weight_only_apply(x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+    """Weight-only int8 dense: int8 weights stream from HBM (half the bf16
+    bytes), activations stay bf16, MACs run bf16 on the MXU.
+
+    The W8A8 path's dynamic activation quantization (abs-max reduce + round +
+    clip per call) costs more than the int8 MAC-rate gain at these shapes
+    (``int8_scale_ab.json``, r4: 0.83-0.90x vs f32). Here dequantization is
+    algebraically *free*: with per-output-channel scales,
+    ``x @ (w_q * s) == (x @ w_q) * s``, so the kernel is one int8->bf16
+    convert fused into the matmul's weight read plus one epilogue rescale —
+    no per-activation work at all.
+    """
+    out_dtype = x.dtype
+    mac_dtype = jnp.bfloat16
+    y = jax.lax.dot_general(
+        x.astype(mac_dtype), entry["w_q"].astype(mac_dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * entry["w_scale"]
+    if entry["bias"] is not None:
+        y = y + entry["bias"]
+    return y.astype(out_dtype)
+
+
+def int8_circular_conv_apply(
+    x: jnp.ndarray, entry: dict, *, weight_only: bool = False
+) -> jnp.ndarray:
     """Circular k-tap conv as an im2col int8 matmul (taps gathered by
     circular roll; tap order matches ``models/embed.circular_conv1d``:
     tap t sees x[l + t - k//2])."""
     k = entry["taps"]
     pad = k // 2
     cols = [jnp.roll(x, pad - t, axis=1) for t in range(k)]
-    return int8_dense_apply(jnp.concatenate(cols, axis=-1), entry)
+    apply = int8_dense_weight_only_apply if weight_only else int8_dense_apply
+    return apply(jnp.concatenate(cols, axis=-1), entry)
 
 
-def _int8_conv_layer(module, x: jnp.ndarray, entry: dict) -> jnp.ndarray:
+def _int8_conv_layer(
+    module, x: jnp.ndarray, entry: dict, *, weight_only: bool = False
+) -> jnp.ndarray:
     """Serve a distil ``ConvLayer`` (models/encoder.py): int8 circular conv,
     then the layer's own BatchNorm (inference stats) / ELU / maxpool."""
     var = module.variables
-    y = int8_circular_conv_apply(x, entry)
+    y = int8_circular_conv_apply(x, entry, weight_only=weight_only)
     bn_p = var["params"]["norm"]
     bn_s = var["batch_stats"]["norm"]
     inv = jax.lax.rsqrt(bn_s["var"] + 1e-5)
@@ -134,16 +164,30 @@ def _int8_conv_layer(module, x: jnp.ndarray, entry: dict) -> jnp.ndarray:
     return nn.max_pool(y, window_shape=(3,), strides=(2,), padding=((1, 1),))
 
 
-def serving_intercept(table: Dict[PathKey, dict], hits: Optional[set] = None):
+def serving_intercept(
+    table: Dict[PathKey, dict],
+    hits: Optional[set] = None,
+    *,
+    mode: str = "w8a8",
+):
     """Context manager: inside, every ``nn.Dense``/``DenseLSQ`` (and distil
     ``ConvLayer``) whose module path is in ``table`` executes as a real int8
     matmul.
+
+    ``mode``: ``"w8a8"`` (dynamic activation quant, int8xint8 MACs) or
+    ``"weight_only"`` (int8 weights, bf16 activations/MACs — the measured-win
+    serving config; see :func:`int8_dense_weight_only_apply`).
 
     ``hits`` (optional): a set the interceptor adds each served module path
     to, so callers can verify the table actually matched (a Flax API change
     that breaks ``Module.path`` would otherwise silently serve f32).
     """
     from ...models.encoder import ConvLayer
+
+    if mode not in ("w8a8", "weight_only"):
+        raise ValueError(f"unknown serving mode {mode!r}")
+    weight_only = mode == "weight_only"
+    dense_apply = int8_dense_weight_only_apply if weight_only else int8_dense_apply
 
     def interceptor(next_fn, args, kwargs, context):
         if context.method_name != "__call__":
@@ -154,11 +198,13 @@ def serving_intercept(table: Dict[PathKey, dict], hits: Optional[set] = None):
             if isinstance(context.module, (nn.Dense, DenseLSQ)):
                 if hits is not None:
                     hits.add(path)
-                return int8_dense_apply(args[0], entry)
+                return dense_apply(args[0], entry)
             if isinstance(context.module, ConvLayer):
                 if hits is not None:
                     hits.add(path)
-                return _int8_conv_layer(context.module, args[0], entry)
+                return _int8_conv_layer(
+                    context.module, args[0], entry, weight_only=weight_only
+                )
         return next_fn(*args, **kwargs)
 
     return nn.intercept_methods(interceptor)
@@ -170,6 +216,7 @@ def predict_int8(
     *args,
     nbits: int = 8,
     table: Optional[Dict[PathKey, dict]] = None,
+    mode: str = "w8a8",
     **kwargs,
 ):
     """Forward pass with all eligible dense layers served in int8.
@@ -179,7 +226,7 @@ def predict_int8(
     """
     table = table if table is not None else build_int8_table(variables, nbits=nbits)
     hits: set = set()
-    with serving_intercept(table, hits=hits):
+    with serving_intercept(table, hits=hits, mode=mode):
         out = model.apply(variables, *args, **kwargs)
     if table and not hits:
         raise RuntimeError(

@@ -32,7 +32,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -153,8 +153,13 @@ def ldpc_encode(code: QCLDPC, info_bits: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@lru_cache(maxsize=None)
 def _dense_adjacency(code: QCLDPC):
     """Padded adjacency tables for the gather-only decoder.
+
+    Memoized per (hashable, frozen) code object: the tables are rebuilt in
+    Python loops otherwise on every (num_iters, shape) retrace of
+    :func:`ldpc_decode`/:func:`ldpc_syndrome` (ADVICE r4).
 
     Returns ``(check_vars [n_checks, dc_max] int, valid [n_checks, dc_max]
     bool, var_edges [n_vars, dv_max] int)`` where ``check_vars[c, j]`` is the

@@ -3,7 +3,7 @@
 # tree into experiments/artifacts/ (the judge-visible location).
 cd "$(dirname "$0")/.."
 mkdir -p experiments/artifacts
-python experiments/collect_results.py weights --tag r2cos --base experiments/artifacts/parity.json || true
+python experiments/collect_results.py weights --tag r5s --base experiments/artifacts/parity.json || true
 python experiments/pallas_ab.py weights || true
 for f in snr_table.json parity.json PARITY_RESULTS.md runtime.json \
          lsq_results.json lsq_fibbinary_results.json ptq_results.json \

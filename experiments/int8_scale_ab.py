@@ -8,7 +8,9 @@ This driver quantifies the other half of that claim: at the scale-demo sizes
 random-initialized (accuracy of the int8 path is covered by the flagship
 artifact + `tests/test_serving.py`).
 
-Variants per size: f32 apply, bf16 apply, W8A8 int8 serving intercept.
+Variants per size: f32 apply, bf16 apply, W8A8 int8 serving intercept, and
+weight-only int8 (int8 weights + bf16 MACs, dequant folded into the matmul
+epilogue — no dynamic activation quant; VERDICT r4 item 6).
 Writes weights/int8_scale_ab.json. Reference obligation: the quantization
 study's efficiency motivation (SURVEY §0 item 3); the reference never
 executes quantized compute (`qtorch` fake-quant only).
@@ -64,10 +66,14 @@ def main():
         try:
             row = {"config": name, "d_model": d_model, "d_ff": d_ff,
                    "seq_len": seq_len, "batch": batch}
-            for variant in ("float32", "bfloat16", "int8"):
+            for variant in ("float32", "bfloat16", "int8", "int8_wo"):
+                # int8 (W8A8) stays on the f32 base model for r4-artifact
+                # continuity; weight-only serves on the bf16 base (its
+                # production config — bf16 activations are the point).
                 cfg = InformerConfig(
                     d_model=d_model, d_ff=d_ff, seq_len=seq_len,
-                    dtype="bfloat16" if variant == "bfloat16" else "float32",
+                    dtype="bfloat16" if variant in ("bfloat16", "int8_wo")
+                    else "float32",
                 )
                 model = build_informer(cfg)
                 x_enc = jnp.asarray(
@@ -78,11 +84,12 @@ def main():
                     jnp.float32)
                 variables = model.init(jax.random.key(0), x_enc, x_dec)
                 table = (build_int8_table(variables)
-                         if variant == "int8" else None)
+                         if variant.startswith("int8") else None)
+                mode = "weight_only" if variant == "int8_wo" else "w8a8"
 
                 def fwd(xe, xd):
                     if table is not None:
-                        with serving_intercept(table):
+                        with serving_intercept(table, mode=mode):
                             out = model.apply(variables, xe, xd)
                     else:
                         out = model.apply(variables, xe, xd)
@@ -111,6 +118,10 @@ def main():
                 row["ms_float32"] / row["ms_int8"], 3)
             row["int8_speedup_vs_bf16"] = round(
                 row["ms_bfloat16"] / row["ms_int8"], 3)
+            row["int8_wo_speedup_vs_f32"] = round(
+                row["ms_float32"] / row["ms_int8_wo"], 3)
+            row["int8_wo_speedup_vs_bf16"] = round(
+                row["ms_bfloat16"] / row["ms_int8_wo"], 3)
         except Exception as exc:  # noqa: BLE001 — transient tunnel failures
             row = {"config": name, "error": str(exc)[:200]}
         print(json.dumps(row), flush=True)

@@ -111,7 +111,14 @@ def main():
     run("canonical_fuse_qkv", dataclasses.replace(canon, fuse_qkv=True))
     run("baseline_f32_xla",
         InformerConfig(), prng=None)
+    # ProbSparse rows (VERDICT r4 item 1): the flagship's alternate attention
+    # mode, vs the reference's A100 prob baseline of 2,230 samples/s.
+    run("prob_bf16_rbg", dataclasses.replace(canon, attn="prob"))
+    run("prob_f32_xla",
+        dataclasses.replace(InformerConfig(), attn="prob"), prng=None)
     run("fwd_only_canonical", canon, fwd_only=True)
+    run("fwd_only_prob",
+        dataclasses.replace(canon, attn="prob"), fwd_only=True)
     run("no_distil", dataclasses.replace(canon, distil=False))
     run("no_dropout", dataclasses.replace(canon, dropout=0.0))
     run("single_stack", dataclasses.replace(canon, e_layers=(4,)))

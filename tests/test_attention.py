@@ -170,3 +170,33 @@ def test_prob_attention_dense_gather_matches_key_gather():
         np.asarray(dense_out), np.swapaxes(ctx, 1, 2), rtol=2e-4, atol=2e-5
     )
     assert long_out.shape == (2, 300, 2, 8)
+    # Long-path numerics (ADVICE r4): the same NumPy key-gather oracle at
+    # l=300 checks the l_k>256 branch's values, not just its shape.
+    np.testing.assert_allclose(
+        np.asarray(long_out),
+        _np_prob_keygather_oracle(q, k, v, key, factor=3),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def _np_prob_keygather_oracle(q, k, v, key, *, factor):
+    """NumPy key-gather ProbSparse (unmasked) with the same RNG draw."""
+    l_q, l_k, e = q.shape[1], k.shape[1], q.shape[-1]
+    sample_k = min(factor * math.ceil(math.log(l_k)), l_k)
+    n_top = min(factor * math.ceil(math.log(l_q)), l_q)
+    idx = np.asarray(jax.random.randint(key, (l_q, sample_k), 0, l_k))
+    q_ = np.swapaxes(q, 1, 2)
+    k_ = np.swapaxes(k, 1, 2)
+    v_ = np.swapaxes(v, 1, 2)
+    qk = np.einsum("bhle,bhlse->bhls", q_, k_[:, :, idx])
+    m = qk.max(-1) - qk.sum(-1) / l_k
+    m_top = np.argsort(-m, axis=-1, kind="stable")[..., :n_top]
+    scores = np.einsum(
+        "bhue,bhke->bhuk", np.take_along_axis(q_, m_top[..., None], 2), k_
+    ) / math.sqrt(e)
+    a = np.exp(scores - scores.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    upd = np.einsum("bhuk,bhkd->bhud", a, v_)
+    ctx = np.broadcast_to(v_.mean(-2, keepdims=True), v_.shape).copy()
+    np.put_along_axis(ctx, np.broadcast_to(m_top[..., None], upd.shape), upd, 2)
+    return np.swapaxes(ctx, 1, 2)

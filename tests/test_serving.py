@@ -85,6 +85,41 @@ def test_int8_serving_close_to_f32_and_actually_quantized():
     assert float(jnp.max(jnp.abs(got - ref))) > 1e-6
 
 
+def test_int8_weight_only_serving_close_to_f32_and_quantized():
+    """Weight-only mode (int8 weights, bf16 MACs, epilogue dequant) must track
+    f32 at least as closely as W8A8 — it skips activation quantization."""
+    m, v, x_enc, x_dec = _model_and_inputs()
+    ref = m.apply(v, x_enc, x_dec)
+    got = predict_int8(m, v, x_enc, x_dec, mode="weight_only")
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.1, f"weight-only int8 serving too far from f32: rel={rel}"
+    assert float(jnp.max(jnp.abs(got - ref))) > 1e-6
+
+
+def test_int8_weight_only_dense_apply_matches_manual():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    w_scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    w_q = jnp.clip(jnp.round(w / w_scale), -128, 127).astype(jnp.int8)
+    entry = {"w_q": w_q, "w_scale": w_scale, "bias": b}
+    from channelestimationtransformer_tpu.ops.quant.serving import (
+        int8_dense_weight_only_apply,
+    )
+
+    got = int8_dense_weight_only_apply(x, entry)
+    manual = (
+        np.asarray(x, np.float32).astype(np.float32)
+        @ np.asarray(w_q, np.float32)
+    ) * np.asarray(w_scale) + np.asarray(b)
+    # bf16 MACs: compare loosely to the exact int-weight matmul, tightly to f32
+    np.testing.assert_allclose(np.asarray(got), manual, rtol=2e-2, atol=2e-2)
+    exact = np.asarray(x @ w + b)
+    rel = np.linalg.norm(np.asarray(got) - exact) / np.linalg.norm(exact)
+    assert rel < 0.05
+
+
 def test_int8_dense_apply_matches_manual_quantized_matmul():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
