@@ -4,13 +4,19 @@ The reference's whole quantization study (PTQ/QAT/LSQ, SURVEY §2.2) motivates
 efficient inference but only ever *simulates* quantization: weights are
 rounded and immediately rematerialized as float32 for cuBLAS
 (``qtorch/quant/quant_function.py``, ``models/InformerLSQ/LSQ.py:65-74``).
-This module executes the quantized network for real on the TPU MXU:
+This module executes the quantized network for real on the TPU MXU, in two
+modes:
 
-- weights stored as int8 (per-output-channel symmetric scales, or the trained
-  LSQ ``step_size`` when the checkpoint carries one),
-- activations dynamically quantized per tensor (symmetric abs-max),
-- matmuls run as int8 x int8 -> int32 ``lax.dot_general`` on the MXU (2x the
-  bf16 MAC rate on v5e), dequantized by a single fused f32 rescale.
+- **W8A8**: weights stored as int8 (per-output-channel symmetric scales, or
+  the trained LSQ ``step_size`` when the checkpoint carries one), activations
+  dynamically quantized per tensor (symmetric abs-max), matmuls as
+  int8 x int8 -> int32 ``lax.dot_general``. The int8 MAC-rate gain is eaten
+  by the per-call activation quant at the model sizes measured
+  (``experiments/artifacts/int8_scale_ab.json``) — use it for int-exactness
+  experiments, not latency.
+- **weight_only**: int8 weights (4x smaller than f32 in HBM), bf16
+  activations and MACs, per-channel dequant folded into the matmul epilogue
+  — zero per-activation overhead; the serving-latency configuration.
 
 Following the reference's quantization scope, only the attention projections
 and FFN layers are quantized (token embedding and the final projection stay

@@ -62,7 +62,8 @@ REF_SOURCES = {
     "snr": "FullPrecision/Figures/SNR.txt (50 ep, lr 1e-3 constant)",
     "seq_len": "FullPrecision/Figures/sequence_len.txt (100 ep)",
     "label_len": "FullPrecision/Figures/label_length.txt (100 ep)",
-    "d_ff": "FullPrecision/Figures/dff.txt (10 ep — inconsistent recipe)",
+    "d_ff": "FullPrecision/Figures/dff.txt (reference log: 10 ep, "
+            "inconsistent recipe; our rows: the standard 100-ep recipe)",
     "d_model": "FullPrecision/Figures/dmodel.txt (50 ep)",
     "attn": "FullPrecision/Figures/attn.txt (50 ep)",
     "distil": "FullPrecision/Figures/distil.txt (50 ep)",
@@ -217,6 +218,9 @@ def main():
                     help="previous parity.json whose rows fill in any sweep "
                          "value with no fresh result (e.g. the committed "
                          "experiments/artifacts/parity.json)")
+    ap.add_argument("--ci", default=os.path.join(ART, "parity_ci.json"),
+                    help="bootstrap-CI artifact (eval_parity_ci.py); merged "
+                         "as a CI column when present")
     args = ap.parse_args()
 
     bounds = Bounds(args.art)
@@ -355,6 +359,22 @@ def main():
                             axis, v, 21 if axis != "snr" else v))
                     ours["rows"][val] = dict(row, carried_from_base=True)
 
+    # --- merge bootstrap CIs (eval_parity_ci.py; VERDICT r4 item 8) ---
+    ci_art = _load(args.ci)
+    if ci_art:
+        for axis, block in parity["sweeps"].items():
+            for val, row in block.get("rows", {}).items():
+                ci = ci_art.get("rows", {}).get(f"{axis}:{val}")
+                if ci and "mean" in ci:
+                    row["ci"] = {
+                        "n_batches": ci["n"],
+                        "mean64": ci["mean"],
+                        "ci95": ci["ci95"],
+                        "delta_db_ci95": ci.get("delta_db_ci95"),
+                        "excludes_zero": ci.get("excludes_zero"),
+                        "checkpoint_epoch": ci.get("checkpoint_epoch"),
+                    }
+
     with open(os.path.join(args.out_dir, "snr_table.json"), "w") as f:
         json.dump(parity["sweeps"]["snr"]["rows"], f, indent=2)
     with open(os.path.join(args.out_dir, "parity.json"), "w") as f:
@@ -365,7 +385,11 @@ def main():
              f"Metric: {parity['metric']}. delta_db = 10*log10(ours/ref); "
              "negative = we beat the reference. 'oracle' / 'wiener' are the "
              "cluster's own predictability bounds (every row reads as "
-             "bound <= ours vs ref).", ""]
+             "bound <= ours vs ref). The CI column is a percentile bootstrap "
+             "(10k resamples) over 64 independent 256-window validation "
+             "batches re-evaluated from the row's checkpoint "
+             "(eval_parity_ci.py); point estimates remain the training run's "
+             "final 8-batch validation.", ""]
     for axis, block in parity["sweeps"].items():
         spec = block.get("cluster", {})
         cal = (f" — runs at the {spec['speed']:g} km/h cluster calibration"
@@ -374,18 +398,26 @@ def main():
                if spec else "")
         lines.append(f"## {axis}  \n_source: {block['ref_source']}{cal}_\n")
         lines.append("| value | bound (wiener/oracle) | ours (split-mean) "
-                     "| ref | delta dB |")
-        lines.append("|---|---|---|---|---|")
+                     "| ref | delta dB | delta dB 95% CI (64 batches) |")
+        lines.append("|---|---|---|---|---|---|")
         for val, row in sorted(block["rows"].items(),
                                key=lambda kv: (len(str(kv[0])), str(kv[0]))):
             d = row["delta_db"]
             w = row.get("wiener")
             o = row.get("oracle")
             b = " / ".join(f"{x:.4f}" for x in (w, o) if x is not None) or "-"
+            ci = row.get("ci")
+            if ci and ci.get("delta_db_ci95"):
+                lo, hi = ci["delta_db_ci95"]
+                mark = ("" if ci.get("excludes_zero")
+                        else " (CI touches 0 — inconclusive)")
+                ci_s = f"[{lo:+.2f}, {hi:+.2f}]{mark}"
+            else:
+                ci_s = "-"
             lines.append(
                 f"| {val} | {b} | {row['split_mean']:.5f} | "
                 f"{row['ref'] if row['ref'] is not None else '-'} | "
-                f"{f'{d:+.2f}' if d is not None else '-'} |")
+                f"{f'{d:+.2f}' if d is not None else '-'} | {ci_s} |")
         lines.append("")
     if anchor:
         lines.append("## LSQ FP32 anchor (5th horizon)\n")

@@ -111,29 +111,39 @@ def main():
         with serving_intercept(table):
             return model.apply(variables, x_enc, x_dec)
 
+    def fwd_int8_wo(x_enc, x_dec):
+        # weight-only: int8 weights, bf16 MACs, epilogue dequant (r5)
+        with serving_intercept(table, mode="weight_only"):
+            return model.apply(variables, x_enc, x_dec)
+
     # --- accuracy ---
-    accs = {"f32": [], "int8": []}
-    splits = {"f32": [], "int8": []}
+    accs = {"f32": [], "int8": [], "int8_wo": []}
+    splits = {"f32": [], "int8": [], "int8_wo": []}
     jf32, jint8 = jax.jit(fwd_f32), jax.jit(fwd_int8)
+    jint8wo = jax.jit(fwd_int8_wo)
     for i in range(args.batches):
         x_enc, x_dec, target = make_batch(
             jax.random.fold_in(jax.random.key(11), i), ds,
             tc.batch_size, cfg.label_len,
         )
-        for name, fn in (("f32", jf32), ("int8", jint8)):
+        for name, fn in (("f32", jf32), ("int8", jint8),
+                         ("int8_wo", jint8wo)):
             pred = fn(x_enc, x_dec)
             pred = pred[0] if isinstance(pred, tuple) else pred
             accs[name].append(float(nmse(pred, target)))
             splits[name].append([float(v) for v in nmse_split(pred, target)])
 
     res = {"nbits": args.nbits, "layers": len(table), "checkpoint": ckpt}
-    for name in ("f32", "int8"):
+    for name in ("f32", "int8", "int8_wo"):
         res[f"nmse_{name}"] = sum(accs[name]) / len(accs[name])
         res[f"split_{name}"] = [
             sum(col) / len(col) for col in zip(*splits[name])
         ]
     res["nmse_delta_db"] = 10 * jnp.log10(
         jnp.asarray(res["nmse_int8"] / res["nmse_f32"])
+    ).item()
+    res["nmse_delta_db_wo"] = 10 * jnp.log10(
+        jnp.asarray(res["nmse_int8_wo"] / res["nmse_f32"])
     ).item()
 
     # --- latency (scan-amortized; see perf_study._scanned rationale) ---
@@ -150,12 +160,16 @@ def main():
             return out
         return jax.jit(run), n
 
-    for name, fn in (("f32", fwd_f32), ("int8", fwd_int8)):
+    for name, fn in (("f32", fwd_f32), ("int8", fwd_int8),
+                     ("int8_wo", fwd_int8_wo)):
         sfn, n = scanned(fn)
         ms, _ = time_fn(sfn, x_enc, x_dec, warmup=2, reps=10)
         res[f"latency_ms_{name}"] = round(ms / n, 4)
     res["latency_speedup"] = round(
         res["latency_ms_f32"] / res["latency_ms_int8"], 3
+    )
+    res["latency_speedup_wo"] = round(
+        res["latency_ms_f32"] / res["latency_ms_int8_wo"], 3
     )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -68,8 +68,9 @@ def main():
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            bits = [v["nbits"] for v in data.values()]
-            nmse = [10 * np.log10(v["final_val_nmse"]) for v in data.values()]
+            rows_ = sorted(data.values(), key=lambda v: v["nbits"])
+            bits = [v["nbits"] for v in rows_]
+            nmse = [10 * np.log10(v["final_val_nmse"]) for v in rows_]
             fig, ax = plt.subplots(figsize=(5, 3.5))
             ax.plot(bits, nmse, "s-")
             ax.set_xlabel("weight bits")
@@ -292,7 +293,7 @@ def main():
     if os.path.exists(par):
         with open(par) as f:
             pj = json.load(f)
-        bars = []  # (label, delta_db, axis)
+        bars = []  # (label, delta_db, axis, ci_lo_hi)
         for axis, block in pj.get("sweeps", {}).items():
             spec = block.get("cluster", {}) or {}
             tag = (f"{spec['speed']:g}km/h" if spec.get("cal")
@@ -300,18 +301,26 @@ def main():
             for val, row in sorted(block.get("rows", {}).items(),
                                    key=lambda kv: (len(kv[0]), kv[0])):
                 if row.get("delta_db") is not None:
+                    ci = (row.get("ci") or {}).get("delta_db_ci95")
                     bars.append((f"{axis}={val} [{tag}]",
-                                 row["delta_db"], axis))
+                                 row["delta_db"], axis, ci))
         anch = (pj.get("lsq_fp32_anchor") or {}).get("row")
         if anch and anch.get("delta_db") is not None:
-            bars.append(("lsq_fp32_anchor [ss30]", anch["delta_db"], "lsq"))
+            bars.append(("lsq_fp32_anchor [ss30]", anch["delta_db"], "lsq",
+                         None))
         if bars:
             fig, ax = plt.subplots(figsize=(6.5, 0.28 * len(bars) + 1.2))
             ypos = range(len(bars))
-            colors = ["#2a7" if d <= 0 else "#c44" for _, d, _ in bars]
-            ax.barh(ypos, [d for _, d, _ in bars], color=colors, height=0.65)
+            colors = ["#2a7" if d <= 0 else "#c44" for _, d, *_ in bars]
+            ax.barh(ypos, [d for _, d, *_ in bars], color=colors, height=0.65)
+            # 95% bootstrap CI whiskers (64-batch re-eval, eval_parity_ci.py)
+            for y, (_, d, _, ci) in zip(ypos, bars):
+                if ci:
+                    ax.plot(ci, [y, y], color="k", lw=1.2)
+                    ax.plot([ci[0]] * 2, [y - 0.18, y + 0.18], color="k", lw=1.2)
+                    ax.plot([ci[1]] * 2, [y - 0.18, y + 0.18], color="k", lw=1.2)
             ax.set_yticks(list(ypos))
-            ax.set_yticklabels([l for l, _, _ in bars], fontsize=7)
+            ax.set_yticklabels([b[0] for b in bars], fontsize=7)
             ax.invert_yaxis()
             ax.axvline(0, color="k", lw=0.8)
             ax.set_xlabel("delta vs reference [dB]  (negative = ours better)")
@@ -365,7 +374,8 @@ def main():
         if rows:
             order = [k for k in (
                 "baseline_f32_xla", "canonical_bf16_bd_rbg",
-                "canonical_fuse_qkv", "fwd_only_canonical", "no_distil",
+                "canonical_fuse_qkv", "prob_f32_xla", "prob_bf16_rbg",
+                "fwd_only_canonical", "fwd_only_prob", "no_distil",
                 "no_dropout", "single_stack", "batch_512", "batch_1024",
                 "batch_1024_fuse") if k in rows]
             fig, ax = plt.subplots(figsize=(6.5, 3.6))
@@ -395,15 +405,22 @@ def main():
             names = [r["config"] for r in rows]
             x = np.arange(len(rows))
             fig, ax = plt.subplots(figsize=(6, 3.4))
-            for i, (variant, label) in enumerate(
-                    (("float32", "f32"), ("bfloat16", "bf16"),
-                     ("int8", "W8A8 int8"))):
-                ax.bar(x + (i - 1) * 0.25, [r[f"ms_{variant}"] for r in rows],
-                       width=0.25, label=label)
+            variants = [("float32", "f32"), ("bfloat16", "bf16"),
+                        ("int8", "W8A8 int8")]
+            if any("ms_int8_wo" in r for r in rows):
+                variants.append(("int8_wo", "weight-only int8 (bf16 MACs)"))
+            w = 0.8 / len(variants)
+            for i, (variant, label) in enumerate(variants):
+                ax.bar(x + (i - (len(variants) - 1) / 2) * w,
+                       [r.get(f"ms_{variant}", float("nan")) for r in rows],
+                       width=w, label=label)
             for xi, r in zip(x, rows):
-                ax.text(xi + 0.25, r["ms_int8"],
-                        f" ×{r['int8_speedup_vs_f32']:.2f}",
-                        ha="center", va="bottom", fontsize=7, rotation=90)
+                key = ("int8_wo_speedup_vs_bf16" if "ms_int8_wo" in r
+                       else "int8_speedup_vs_f32")
+                ref_ms = r.get("ms_int8_wo", r["ms_int8"])
+                if r.get(key):
+                    ax.text(xi + 0.3, ref_ms, f" ×{r[key]:.2f} vs bf16",
+                            ha="center", va="bottom", fontsize=6, rotation=90)
             ax.set_xticks(x)
             ax.set_xticklabels(
                 [f"{n}\n(dm{r['d_model']})" for n, r in zip(names, rows)],
@@ -412,10 +429,41 @@ def main():
             ax.set_yscale("log")
             ax.legend(fontsize=8)
             ax.grid(True, axis="y", which="both", alpha=0.3)
-            ax.set_title("W8A8 int8 serving vs model size (speedup vs f32)",
+            ax.set_title("int8 serving vs model size (W8A8 + weight-only)",
                          fontsize=9)
             fig.tight_layout()
             out = os.path.join(args.out, "int8_scale_ab.png")
+            fig.savefig(out, dpi=150)
+            made.append(out)
+
+    # Round-5: ProbSparse layout crossover (dense-select vs key-gather).
+    xo = os.path.join("experiments", "artifacts", "prob_crossover.json")
+    if os.path.exists(xo):
+        with open(xo) as f:
+            rows = [r for r in json.load(f).get("rows", [])
+                    if r.get("ms_dense_select") and r.get("ms_key_gather")]
+        if rows:
+            ls = [r["l"] for r in rows]
+            fig, ax = plt.subplots(figsize=(5.5, 3.5))
+            ax.plot(ls, [r["ms_dense_select"] for r in rows], "o-",
+                    label="dense-select (one-hot einsums)")
+            ax.plot(ls, [r["ms_key_gather"] for r in rows], "s-",
+                    label="key-gather")
+            from channelestimationtransformer_tpu.models.attention import (
+                DENSE_SCORES_MAX_LK,
+            )
+
+            ax.axvline(DENSE_SCORES_MAX_LK, color="k", ls=":",
+                       label=f"threshold ({DENSE_SCORES_MAX_LK})")
+            ax.set_xscale("log", base=2)
+            ax.set_yscale("log")
+            ax.set_xlabel("sequence length l (batch scaled as ~24k/l)")
+            ax.set_ylabel("fwd+bwd ms / call")
+            ax.legend(fontsize=8)
+            ax.grid(True, which="both", alpha=0.3)
+            ax.set_title("ProbSparse layout crossover (TPU v5e)", fontsize=9)
+            fig.tight_layout()
+            out = os.path.join(args.out, "prob_crossover.png")
             fig.savefig(out, dpi=150)
             made.append(out)
 
