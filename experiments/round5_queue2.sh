@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-5 follow-on queue: runs after round5_queue.sh prints R5QDONE.
+# Extra measurements that depend on round-5 code/artifacts:
+#  - int8_serving with the weight-only mode (accuracy + latency on the
+#    trained flagship)
+#  - a second driver-style bench run (median methodology sanity)
+cd /root/repo
+mkdir -p weights logs
+
+while ! grep -q R5QDONE logs/round5_queue.log 2>/dev/null; do sleep 60; done
+
+probe() {
+  timeout 240 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+print(float((x @ x).sum()))" >/dev/null 2>&1
+}
+wait_tpu() { until probe; do sleep 90; done; }
+stage() {
+  local name=$1 tmo=$2; shift 2
+  if [ -f "logs/.done_r5_$name" ]; then return 0; fi
+  wait_tpu
+  echo "=== r5b stage $name $(date -u) ===" >> logs/round5_queue.log
+  if timeout "$tmo" "$@" >> "logs/r5_$name.log" 2>&1; then
+    touch "logs/.done_r5_$name"
+  else
+    echo "r5b stage $name failed/timeout rc=$?" >> logs/round5_queue.log
+  fi
+}
+
+stage int8_serving_wo 3600 python experiments/int8_serving.py \
+  --calibrated --ue-speed-kmh 5 --out weights/int8_serving.json
+stage bench2 2400 python bench.py
+stage collect3 600 bash experiments/collect_artifacts.sh
+echo R5Q2DONE >> logs/round5_queue.log

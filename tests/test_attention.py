@@ -8,6 +8,7 @@
 """
 
 import math
+import re
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +178,32 @@ def test_prob_attention_dense_gather_matches_key_gather():
         _np_prob_keygather_oracle(q, k, v, key, factor=3),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_prob_dense_layout_compiles_scatter_free():
+    """Regression guard for the round-5 throughput fix (DESIGN.md §14): the
+    dense-layout ProbSparse fwd+bwd must contain NO scatter ops — the
+    put_along_axis write-back cost ~27 ms/call on TPU v5e and was 90% of the
+    prob train step. The key-gather long path legitimately scatters."""
+    key = jax.random.key(0)
+    q = jnp.zeros((4, 90, 2, 16))
+
+    def loss(q, k, v, dense):
+        return jnp.sum(prob_sparse_attention(
+            q, k, v, mask_flag=False, factor=5, sample_rng=key,
+            dense_layout=dense,
+        )[0])
+
+    # Match scatter *instructions* (`... = f32[...] scatter(...)`), not the
+    # compile-cache target-feature string ("+prefer-no-scatter") that can
+    # appear in cached executables' as_text().
+    scatter_op = re.compile(r"\bscatter(-add)?\(")
+    dense_hlo = (jax.jit(jax.grad(lambda q, k, v: loss(q, k, v, True)))
+                 .lower(q, q, q).compile().as_text())
+    assert not scatter_op.search(dense_hlo)
+    gather_hlo = (jax.jit(jax.grad(lambda q, k, v: loss(q, k, v, False)))
+                  .lower(q, q, q).compile().as_text())
+    assert scatter_op.search(gather_hlo)  # sanity: the guard detects them
 
 
 def _np_prob_keygather_oracle(q, k, v, key, *, factor):
