@@ -81,6 +81,35 @@ def main():
             fig.savefig(out, dpi=150)
             made.append(out)
 
+    # Combined LSQ vs LSQ-fibbinary NMSE-vs-bits (the thesis's multiplier-free
+    # story lives below 8 bits — the sub-8 extension makes the comparison).
+    paths = {n: os.path.join(args.weights_dir, f"{n}.json")
+             for n in ("lsq_results", "lsq_fibbinary_results")}
+    if all(os.path.exists(p) for p in paths.values()):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5.5, 3.5))
+        for (label, path), style in zip(paths.items(), ("o-", "s--")):
+            with open(path) as f:
+                data = json.load(f)
+            rows_ = sorted(data.values(), key=lambda v: v["nbits"])
+            ax.plot([v["nbits"] for v in rows_],
+                    [10 * np.log10(v["final_val_nmse"]) for v in rows_],
+                    style, label=label.replace("_results", ""))
+        ax.set_xlabel("weight bits")
+        ax.set_ylabel("val NMSE [dB]")
+        ax.legend(fontsize=8)
+        ax.grid(True, alpha=0.3)
+        ax.set_title("LSQ vs LSQ-fibbinary (codebook = no adjacent ones)",
+                     fontsize=9)
+        fig.tight_layout()
+        out = os.path.join(args.out, "lsq_vs_fibbinary.png")
+        fig.savefig(out, dpi=150)
+        made.append(out)
+
     import matplotlib
 
     matplotlib.use("Agg")

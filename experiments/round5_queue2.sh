@@ -28,6 +28,20 @@ stage() {
   fi
 }
 
+# Re-run nbits 8-11 from the SAME FP32 preload as the new 4-7 rows (the
+# committed 8-11 rows preloaded the older r2cos-50 checkpoint and sit ~0.7 dB
+# above the 4-bit row purely from the weaker start — one preload for the
+# whole curve).
+CKPT=$(ls -t "weights/"tmodel_*r4base_150.msgpack 2>/dev/null | head -1)
+if [ -n "$CKPT" ]; then
+  stage lsq_hi 10000 python experiments/train_lsq.py --checkpoint "$CKPT" \
+    --nbits-min 8 --nbits-max 11 --epochs 100 --calibrated --ue-speed-kmh 5 \
+    --snr 21 --train-samples 16384
+  stage lsqfib_hi 10000 python experiments/train_lsq.py --checkpoint "$CKPT" \
+    --nbits-min 8 --nbits-max 11 --epochs 100 --calibrated --ue-speed-kmh 5 \
+    --snr 21 --train-samples 16384 --fibbinary
+fi
+
 stage int8_serving_wo 3600 python experiments/int8_serving.py \
   --calibrated --ue-speed-kmh 5 --out weights/int8_serving.json
 # Settle the bench-default question with interleaved (drift-cancelling)

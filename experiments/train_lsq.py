@@ -116,6 +116,10 @@ def main():
             "nbits": nbits,
             "final_val_nmse": history[-1]["nmse"],
             "final_val_split": [float(v) for v in history[-1]["split"]],
+            # Provenance: rows are only curve-comparable when they preload
+            # the same FP32 checkpoint (the r5 sub-8 extension re-ran 8-11
+            # for exactly this reason).
+            "preload": os.path.basename(args.checkpoint) if args.checkpoint else None,
         }
         print(json.dumps(results[tag]))
         with open(out_path, "w") as f:
