@@ -26,11 +26,16 @@ import flax.linen as nn
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
-# ProbSparse layout switch: at/below this key length the dense QK^T is
-# computed once on the MXU and sampled rows are *selected* from it
-# (scatter-free one-hot einsums); above it, keys are gathered per query to
-# stay O(L * sample_k * E) in memory.
-DENSE_SCORES_MAX_LK = 256
+# ProbSparse layout switch: within these limits the dense QK^T is computed
+# once on the MXU and sampled rows are *selected*/written back with
+# scatter-free one-hot einsums; beyond them, keys are gathered per query to
+# stay O(L * sample_k * E) in memory. Measured (experiments/artifacts/
+# prob_crossover.json, TPU v5e, fwd+bwd): the dense layout wins at EVERY
+# length tried — 6.3x at l=128 down to 3.4x at l=2048 — so the gather path
+# is purely a memory fallback, and the switch is sized by the dense scores'
+# footprint (b*h*l_q*l_k elements, ~2 GB f32 at the budget), not by time.
+DENSE_SCORES_MAX_LK = 2048  # largest measured dense-wins length
+DENSE_SCORES_ELEM_BUDGET = 2 ** 29  # [B,H,L_Q,L_K] f32 cap (~2 GB)
 
 
 def causal_mask(l_q: int, l_k: int) -> jnp.ndarray:
@@ -105,11 +110,14 @@ def prob_sparse_attention(
     # --- _prob_QK (reference attn.py:101-126) ---
     # One shared [L_Q, sample_k] index draw across batch/heads, like torch.randint.
     index_sample = jax.random.randint(sample_rng, (l_q, sample_k), 0, l_k)
-    # ``dense_layout`` overrides the threshold (used by the crossover
+    # ``dense_layout`` overrides the switch (used by the crossover
     # measurement, experiments/prob_crossover.py); both layouts are
     # numerically identical (tests/test_attention.py oracle).
-    use_dense = (l_k <= DENSE_SCORES_MAX_LK if dense_layout is None
-                 else dense_layout)
+    if dense_layout is None:
+        use_dense = (l_k <= DENSE_SCORES_MAX_LK
+                     and b * h * l_q * l_k <= DENSE_SCORES_ELEM_BUDGET)
+    else:
+        use_dense = dense_layout
     if use_dense:
         # Short sequences (the whole reference regime): computing the DENSE
         # QK^T is one MXU matmul at the same cost as full attention, and the

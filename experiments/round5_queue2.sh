@@ -28,6 +28,13 @@ stage() {
   fi
 }
 
+stage int8_serving_wo 3600 python experiments/int8_serving.py \
+  --calibrated --ue-speed-kmh 5 --out weights/int8_serving.json
+# Settle the bench-default question with interleaved (drift-cancelling)
+# timing at the bench shape: f32+BD vs bf16+BD, both rbg.
+stage dtype_ab 3600 python experiments/interleaved_ab.py \
+  --variants float32+bd+rbg bfloat16+bd+rbg --rounds 10 --steps 28 \
+  --out weights/interleaved_ab_r5.json
 # Re-run nbits 8-11 from the SAME FP32 preload as the new 4-7 rows (the
 # committed 8-11 rows preloaded the older r2cos-50 checkpoint and sit ~0.7 dB
 # above the 4-bit row purely from the weaker start — one preload for the
@@ -42,13 +49,6 @@ if [ -n "$CKPT" ]; then
     --snr 21 --train-samples 16384 --fibbinary
 fi
 
-stage int8_serving_wo 3600 python experiments/int8_serving.py \
-  --calibrated --ue-speed-kmh 5 --out weights/int8_serving.json
-# Settle the bench-default question with interleaved (drift-cancelling)
-# timing at the bench shape: f32+BD vs bf16+BD, both rbg.
-stage dtype_ab 3600 python experiments/interleaved_ab.py \
-  --variants float32+bd+rbg bfloat16+bd+rbg --rounds 10 --steps 28 \
-  --out weights/interleaved_ab_r5.json
 stage bench2 2400 python bench.py
 stage collect3 600 bash experiments/collect_artifacts.sh
 echo R5Q2DONE >> logs/round5_queue.log

@@ -133,11 +133,13 @@ def test_prob_attention_dense_gather_matches_key_gather():
     the compute layout, never the result."""
 
     rng = np.random.default_rng(7)
-    q, k, v = _qkv(rng, b=2, l=300, s=300, h=2, e=8)  # l_k > 256: key-gather
+    q, k, v = _qkv(rng, b=2, l=300, s=300, h=2, e=8)
     key = jax.random.key(3)
+    # Force the key-gather path (the memory-fallback layout) — the measured
+    # default now keeps the dense layout well past l=300.
     long_out, _ = prob_sparse_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-        mask_flag=False, factor=3, sample_rng=key,
+        mask_flag=False, factor=3, sample_rng=key, dense_layout=False,
     )
     # Dense-gather path: l_k exactly at the 256 boundary.
     q2, k2, v2 = _qkv(rng, b=2, l=256, s=256, h=2, e=8)
