@@ -208,6 +208,26 @@ def test_prob_dense_layout_compiles_scatter_free():
     assert scatter_op.search(gather_hlo)  # sanity: the guard detects them
 
 
+def test_prob_layout_switch_is_memory_aware(monkeypatch):
+    """The dense/gather decision keys on the [B,H,L_Q,L_K] scores footprint
+    (DENSE_SCORES_ELEM_BUDGET), not just length: shrinking the budget must
+    flip the same shape onto the scatter-bearing key-gather path."""
+    import channelestimationtransformer_tpu.models.attention as A
+
+    key = jax.random.key(0)
+    q = jnp.zeros((4, 90, 2, 16))
+
+    def hlo():
+        f = jax.jit(jax.grad(lambda q, k, v: jnp.sum(prob_sparse_attention(
+            q, k, v, mask_flag=False, factor=5, sample_rng=key)[0])))
+        return f.lower(q, q, q).compile().as_text()
+
+    scatter_op = re.compile(r"\bscatter(-add)?\(")
+    assert not scatter_op.search(hlo())  # fits budget -> dense
+    monkeypatch.setattr(A, "DENSE_SCORES_ELEM_BUDGET", 1)
+    assert scatter_op.search(hlo())  # over budget -> key-gather
+
+
 def _np_prob_keygather_oracle(q, k, v, key, *, factor):
     """NumPy key-gather ProbSparse (unmasked) with the same RNG draw."""
     l_q, l_k, e = q.shape[1], k.shape[1], q.shape[-1]
